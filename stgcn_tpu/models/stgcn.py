@@ -1,0 +1,151 @@
+"""The ST-GCN network: 10 spatial-temporal blocks + global pool + classifier.
+
+Channel/stride plan and head follow the reference exactly
+(src/lightning_model.py:65-88, src/network/stgcn.py:40-53):
+2 -> 64,64,64,64 -> 128(stride 2),128,128 -> 256(stride 2),256,256, global
+average pool over (T, V), Linear(256, classes).  ``final_softmax=True``
+reproduces the inference-variant quirk of a softmax inside ``forward``
+(src/network/stgcn.py:77, SURVEY.md Q4); the training path leaves logits raw
+as the Lightning model does (src/lightning_model.py:109-111).
+
+The model is a functional pytree design: :class:`STGCN` is a static (hashable)
+definition object; ``init`` produces ``(params, state)`` pytrees and ``apply``
+is a pure function of them — so the whole forward/backward jits and shards
+with no framework machinery in the way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stgcn_tpu.graph import adjacency as adj
+from stgcn_tpu.ops.block import block_forward, init_block
+from stgcn_tpu.ops.common import global_avg_pool, init_linear, linear
+
+# (c_in placeholder resolved at build, c_out, temporal stride) per block.
+DEFAULT_PLAN: tuple[tuple[int, int], ...] = (
+    (64, 1), (64, 1), (64, 1), (64, 1),
+    (128, 2), (128, 1), (128, 1),
+    (256, 2), (256, 1), (256, 1),
+)
+
+# The course report also evaluates a 9-layer variant (stgcn.txt:39-49).
+PLAN_9: tuple[tuple[int, int], ...] = (
+    (64, 1), (64, 1), (64, 1),
+    (128, 2), (128, 1), (128, 1),
+    (256, 2), (256, 1), (256, 1),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class STGCNConfig:
+    c_in: int = 2
+    num_classes: int = 6
+    gamma: int = 9
+    strategy: adj.Strategy = adj.Strategy.UNI_LABELING
+    d: int = 1
+    norm_mode: str = "symmetric"  # "reference" for dense-Lambda parity (Q1)
+    adjacency_mode: str = "mask"  # "reference" for trained-adjacency parity (Q2)
+    mask_jitter: float = 0.0
+    dropout_rate: float = 0.0
+    residual: bool = False
+    final_softmax: bool = False  # True reproduces the inference-variant quirk Q4
+    plan: tuple[tuple[int, int], ...] = DEFAULT_PLAN
+    dtype: Any = jnp.float32
+
+
+class STGCN:
+    """Static model definition.  Holds config + the precomputed adjacency."""
+
+    def __init__(self, config: STGCNConfig, distances: np.ndarray | None = None,
+                 distance_file: str | None = None):
+        self.config = config
+        A = adj.get_normalized_adjacency(
+            config.strategy, config.d, mode=config.norm_mode,
+            distances=distances, distance_file=distance_file,
+        )
+        self.adjacency = jnp.asarray(A, dtype=config.dtype)
+        self.num_partitions = A.shape[0]
+        self.num_joints = A.shape[1]
+
+    # -- construction ------------------------------------------------------
+    def init(self, key: jax.Array) -> tuple[dict, dict]:
+        cfg = self.config
+        keys = jax.random.split(key, len(cfg.plan) + 1)
+        blocks_p, blocks_s = [], []
+        c_prev = cfg.c_in
+        for i, (c_out, stride) in enumerate(cfg.plan):
+            p, s = init_block(
+                keys[i], c_prev, c_out, self.adjacency,
+                gamma=cfg.gamma, stride=stride, residual=cfg.residual,
+                adjacency_mode=cfg.adjacency_mode, mask_jitter=cfg.mask_jitter,
+                dtype=cfg.dtype,
+            )
+            blocks_p.append(p)
+            blocks_s.append(s)
+            c_prev = c_out
+        fc = init_linear(keys[-1], c_prev, cfg.num_classes, cfg.dtype)
+        return {"blocks": blocks_p, "fc": fc}, {"blocks": blocks_s}
+
+    # -- forward -----------------------------------------------------------
+    def apply(
+        self,
+        params: dict,
+        state: dict,
+        x: jax.Array,
+        *,
+        train: bool = False,
+        rng: jax.Array | None = None,
+        time_mask: jax.Array | None = None,
+        bn_axis_names=None,
+        precision=None,
+    ) -> tuple[jax.Array, dict]:
+        """Forward pass.
+
+        Args:
+          x: ``(N, T, V, C_in)`` skeleton sequences (the collate layout —
+            unlike the reference we never permute to NCHW; channel-last is the
+            TPU-native layout end to end).
+          time_mask: optional ``(N, T)`` validity mask for bucketed batches.
+
+        Returns:
+          ``(logits (N, classes), new_state)``.
+        """
+        cfg = self.config
+        x = x.astype(cfg.dtype)
+        n_blocks = len(cfg.plan)
+        if train and cfg.dropout_rate > 0:
+            if rng is None:
+                raise ValueError("training with dropout needs rng")
+            drop_keys = list(jax.random.split(rng, n_blocks))
+        else:
+            drop_keys = [None] * n_blocks
+
+        new_blocks_s = []
+        h = x
+        for i, (c_out, stride) in enumerate(cfg.plan):
+            h, s = block_forward(
+                params["blocks"][i], state["blocks"][i], h, self.adjacency,
+                stride=stride, residual=cfg.residual,
+                dropout_rate=cfg.dropout_rate, train=train,
+                dropout_rng=drop_keys[i], bn_axis_names=bn_axis_names,
+                precision=precision,
+            )
+            new_blocks_s.append(s)
+            if time_mask is not None and stride != 1:
+                time_mask = time_mask[:, ::stride]
+
+        pooled = global_avg_pool(h, time_mask)  # (N, C)
+        logits = linear(params["fc"], pooled, precision=precision)
+        if cfg.final_softmax:
+            logits = jax.nn.softmax(logits, axis=-1)
+        return logits, {"blocks": new_blocks_s}
+
+    # convenience ----------------------------------------------------------
+    def param_count(self, params: dict) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

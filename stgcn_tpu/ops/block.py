@@ -1,0 +1,147 @@
+"""The ST-GCN unit: spatial graph conv + temporal conv with BN/ReLU/dropout.
+
+Behavioral spec from the reference's ``SpatialTemporalConv``
+(src/network/st_graphconv.py:4-109):
+
+* non-residual order: BN -> spatial -> temporal -> BN -> ReLU -> dropout
+  (st_graphconv.py:98-109);
+* residual order is full pre-activation: BN -> ReLU -> spatial -> BN -> ReLU
+  -> temporal, plus a shortcut (identity when shapes match, strided 1x1 conv
+  otherwise), then the *outer* ReLU/dropout still apply
+  (st_graphconv.py:60-82,95-105).
+
+Adjacency semantics (SURVEY.md Q2) are selected by ``adjacency_mode``:
+
+* ``"reference"`` — the whole per-layer ``(K, V, V)`` adjacency is a trainable
+  parameter, initialized to ``A_norm * (1 + jitter)``.  This is what the
+  reference *actually* trains in every configuration, because ``SpatialConv``
+  re-wraps ``A * mask`` in a fresh ``nn.Parameter`` (st_graphconv.py:129),
+  detaching the mask.
+* ``"mask"`` — what the ST-GCN paper intends: fixed normalized adjacency
+  times a trainable per-layer importance mask, ``A ⊙ M_l``.
+* ``"fixed"`` — fixed adjacency, no learnable graph weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stgcn_tpu.ops.batchnorm import batchnorm, init_batchnorm
+from stgcn_tpu.ops.common import dropout as dropout_op
+from stgcn_tpu.ops.spatial_conv import init_spatial_conv, spatial_conv
+from stgcn_tpu.ops.temporal_conv import (
+    init_pointwise_conv,
+    init_temporal_conv,
+    pointwise_conv,
+    temporal_conv,
+)
+
+ADJACENCY_MODES = ("reference", "mask", "fixed")
+
+
+def init_block(
+    key: jax.Array,
+    c_in: int,
+    c_out: int,
+    adjacency: jax.Array,
+    *,
+    gamma: int,
+    stride: int = 1,
+    residual: bool = False,
+    adjacency_mode: str = "mask",
+    mask_jitter: float = 0.0,
+    dtype=jnp.float32,
+) -> tuple[dict, dict]:
+    """Initialize one ST-GCN block.  Returns ``(params, state)``."""
+    if adjacency_mode not in ADJACENCY_MODES:
+        raise ValueError(f"adjacency_mode must be one of {ADJACENCY_MODES}")
+    k_sp, k_tc, k_res, k_jit = jax.random.split(key, 4)
+    K = adjacency.shape[0]
+
+    params: dict = {
+        "spatial": init_spatial_conv(k_sp, c_in, c_out, K, dtype),
+        "temporal": init_temporal_conv(k_tc, c_out, c_out, gamma, dtype),
+    }
+    bn1_p, bn1_s = init_batchnorm(c_in, dtype)
+    bn2_p, bn2_s = init_batchnorm(c_out, dtype)
+    params["bn1"] = bn1_p
+    params["bn2"] = bn2_p
+
+    # Mask jitter reproduces the reference's init (src/lightning_model.py:56-57):
+    # ones + 2*(randn - 0.5)*max_jitter.  (Yes: randn, not rand — the name says
+    # "jitter" but the reference draws a shifted *normal*.)
+    jitter = 0.0
+    if mask_jitter:
+        jitter = (
+            2.0 * (jax.random.normal(k_jit, adjacency.shape, dtype) - 0.5)
+            * mask_jitter
+        )
+    if adjacency_mode == "reference":
+        params["A"] = adjacency.astype(dtype) * (jnp.ones_like(adjacency, dtype) + jitter)
+    elif adjacency_mode == "mask":
+        params["mask"] = jnp.ones_like(adjacency, dtype) + jitter
+
+    if residual and not (c_in == c_out and stride == 1):
+        params["residual_proj"] = init_pointwise_conv(k_res, c_in, c_out, dtype)
+
+    return params, {"bn1": bn1_s, "bn2": bn2_s}
+
+
+def effective_adjacency(params: dict, adjacency: jax.Array) -> jax.Array:
+    """The (K, V, V) adjacency actually used by this block's forward."""
+    if "A" in params:
+        return params["A"]
+    if "mask" in params:
+        return adjacency * params["mask"]
+    return adjacency
+
+
+def block_forward(
+    params: dict,
+    state: dict,
+    x: jax.Array,
+    adjacency: jax.Array,
+    *,
+    stride: int = 1,
+    residual: bool = False,
+    dropout_rate: float = 0.0,
+    train: bool = False,
+    dropout_rng: jax.Array | None = None,
+    bn_axis_names=None,
+    precision=None,
+) -> tuple[jax.Array, dict]:
+    """One ST-GCN unit on ``(N, T, V, C_in)`` -> ``(N, T', V, C_out)``."""
+    A = effective_adjacency(params, adjacency)
+    new_state = dict(state)
+
+    if residual:
+        res = x
+        h, new_state["bn1"] = batchnorm(
+            params["bn1"], state["bn1"], x, train=train, axis_names=bn_axis_names)
+        h = jax.nn.relu(h)
+        h = spatial_conv(params["spatial"], A, h, precision=precision)
+        h, new_state["bn2"] = batchnorm(
+            params["bn2"], state["bn2"], h, train=train, axis_names=bn_axis_names)
+        h = jax.nn.relu(h)
+        h = temporal_conv(params["temporal"], h, stride=stride, precision=precision)
+        if "residual_proj" in params:
+            shortcut = pointwise_conv(params["residual_proj"], res, stride=stride,
+                                      precision=precision)
+        else:
+            shortcut = res
+        out = h + shortcut
+    else:
+        h, new_state["bn1"] = batchnorm(
+            params["bn1"], state["bn1"], x, train=train, axis_names=bn_axis_names)
+        h = spatial_conv(params["spatial"], A, h, precision=precision)
+        h = temporal_conv(params["temporal"], h, stride=stride, precision=precision)
+        out, new_state["bn2"] = batchnorm(
+            params["bn2"], state["bn2"], h, train=train, axis_names=bn_axis_names)
+
+    out = jax.nn.relu(out)
+    if dropout_rate > 0.0 and train:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 in train mode needs dropout_rng")
+        out = dropout_op(dropout_rng, out, dropout_rate, train=True)
+    return out, new_state

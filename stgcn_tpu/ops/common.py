@@ -1,0 +1,52 @@
+"""Small shared ops: dropout, pooling, linear head.
+
+Counterparts of the reference's ``nn.Dropout`` (src/network/
+st_graphconv.py:53-58), ``F.avg_pool2d`` global pool (src/lightning_model.py:105)
+and ``nn.Linear`` classifier head (src/lightning_model.py:88).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stgcn_tpu.ops.dtypes import acc_dtype
+from stgcn_tpu.ops.initializers import kaiming_uniform_torch, torch_bias_uniform
+
+
+def dropout(key: jax.Array, x: jax.Array, rate: float, *, train: bool) -> jax.Array:
+    """Inverted dropout, matching torch's train-time scaling by 1/(1-p)."""
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def global_avg_pool(x: jax.Array, time_mask: jax.Array | None = None) -> jax.Array:
+    """Mean over (T, V): ``(N, T, V, C) -> (N, C)``.
+
+    ``time_mask`` (``(N, T)`` booleans) enables masked pooling for
+    length-bucketed batches; with ``None`` this matches the reference's
+    ``avg_pool2d(x, (T, V))`` over wrap-padded batches exactly.
+    """
+    if time_mask is None:
+        return jnp.mean(x, axis=(1, 2))
+    m = time_mask[:, :, None, None].astype(x.dtype)
+    total = jnp.sum(x * m, axis=(1, 2))
+    count = jnp.sum(m, axis=(1, 2)) * x.shape[2]
+    return total / jnp.maximum(count, 1.0)
+
+
+def init_linear(key: jax.Array, c_in: int, c_out: int, dtype=jnp.float32) -> dict:
+    kw, kb = jax.random.split(key)
+    return {
+        "w": kaiming_uniform_torch(kw, (c_in, c_out), c_in, dtype),
+        "b": torch_bias_uniform(kb, (c_out,), c_in, dtype),
+    }
+
+
+def linear(params: dict, x: jax.Array, *, precision=None) -> jax.Array:
+    out = jnp.dot(x, params["w"], precision=precision,
+                  preferred_element_type=acc_dtype(x))
+    return (out + params["b"]).astype(x.dtype)

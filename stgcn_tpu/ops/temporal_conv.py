@@ -1,0 +1,89 @@
+"""Temporal convolution over frame sequences.
+
+The reference applies ``Conv2d(C, C, (gamma, 1), stride=(s, 1),
+padding=(p, 0))`` in NCHW (src/network/st_graphconv.py:40-43).  Here it is a
+channel-last ``lax.conv_general_dilated`` with dimension numbers
+``(NTVC, TVIO, NTVC)`` — XLA lowers this to an implicit GEMM on the MXU with
+the gamma*C_in contraction dimension.  V is a pure batch dimension (kernel
+extent 1), so sharding T across devices only requires a (gamma-1)/2-frame halo
+(see stgcn_tpu.parallel.halo).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stgcn_tpu.ops.dtypes import acc_dtype
+from stgcn_tpu.ops.initializers import kaiming_uniform_torch, torch_bias_uniform
+
+DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")  # H=T (time), W=V (joints)
+
+
+def init_temporal_conv(
+    key: jax.Array,
+    c_in: int,
+    c_out: int,
+    kernel_size: int,
+    dtype=jnp.float32,
+) -> dict:
+    """``w``: (gamma, 1, C_in, C_out) HWIO; torch fan_in = C_in * gamma * 1."""
+    kw, kb = jax.random.split(key)
+    fan_in = c_in * kernel_size
+    w = kaiming_uniform_torch(kw, (kernel_size, 1, c_in, c_out), fan_in, dtype)
+    b = torch_bias_uniform(kb, (c_out,), fan_in, dtype)
+    return {"w": w, "b": b}
+
+
+def temporal_conv(
+    params: dict,
+    x: jax.Array,
+    *,
+    stride: int = 1,
+    padding: int | None = None,
+    precision=None,
+) -> jax.Array:
+    """Apply the (gamma x 1) temporal conv to ``(N, T, V, C)`` input.
+
+    ``padding=None`` means "same-ish" reference padding ``(gamma-1)//2`` on
+    both temporal ends, zero joint padding — identical to the reference's
+    explicit padding argument (src/lightning_model.py:45).
+    """
+    gamma = params["w"].shape[0]
+    if padding is None:
+        padding = (gamma - 1) // 2
+    out = lax.conv_general_dilated(
+        x,
+        params["w"].astype(x.dtype),
+        window_strides=(stride, 1),
+        padding=[(padding, padding), (0, 0)],
+        dimension_numbers=DIMENSION_NUMBERS,
+        precision=precision,
+        preferred_element_type=acc_dtype(x),
+    )
+    return (out + params["b"]).astype(x.dtype)
+
+
+def init_pointwise_conv(key: jax.Array, c_in: int, c_out: int, dtype=jnp.float32) -> dict:
+    """1x1 conv used by the residual shortcut (src/network/st_graphconv.py:28)."""
+    kw, kb = jax.random.split(key)
+    w = kaiming_uniform_torch(kw, (c_in, c_out), c_in, dtype)
+    b = torch_bias_uniform(kb, (c_out,), c_in, dtype)
+    return {"w": w, "b": b}
+
+
+def pointwise_conv(params: dict, x: jax.Array, *, stride: int = 1,
+                   precision=None) -> jax.Array:
+    """1x1 conv with temporal stride: a strided slice followed by a matmul.
+
+    Equivalent to ``Conv2d(C_in, C_out, 1, stride=(s, 1))``: kernel extent 1
+    means striding merely subsamples frames before the channel matmul.
+    """
+    if stride != 1:
+        x = x[:, ::stride]
+    out = jnp.einsum(
+        "ntvi,io->ntvo", x, params["w"],
+        precision=precision, preferred_element_type=acc_dtype(x),
+    )
+    return (out + params["b"]).astype(x.dtype)

@@ -1,0 +1,251 @@
+"""Per-op and per-layer numerical parity against the reference PyTorch math.
+
+BASELINE.json config 1 (single spatial layer, CPU-runnable) and the per-layer
+allclose requirement.  The reference modules are imported as a numerical
+oracle; weights are copied through the state_dict importer so the same path
+validates checkpoint restore.
+
+Parity with ``norm_mode="reference"`` runs in float64: the dense-Lambda quirk
+(SURVEY.md Q1) produces O(1e3) adjacency entries, and the resulting
+catastrophic cancellation makes float32 elementwise comparison meaningless —
+both frameworks carry ~0.5 absolute error vs a float64 oracle.  Exact float64
+agreement proves the math is identical; a separate float32 test over the
+sanely-normalized path covers production numerics.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stgcn_tpu.graph import adjacency as adj
+from stgcn_tpu.models.importer import import_state_dict
+from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+from stgcn_tpu.ops.block import block_forward
+from stgcn_tpu.ops.spatial_conv import spatial_conv
+from stgcn_tpu.ops.temporal_conv import temporal_conv
+
+torch = pytest.importorskip("torch")
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def _to_ours_layout(x_nchw: np.ndarray) -> np.ndarray:
+    """(N, C, T, V) -> (N, T, V, C)"""
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+def _from_ours_layout(x_ntvc: np.ndarray) -> np.ndarray:
+    return np.transpose(np.asarray(x_ntvc), (0, 3, 1, 2))
+
+
+def _spatial_params_from_ref(ref_sc, num_partitions: int) -> dict:
+    w = ref_sc.W.weight.detach().numpy()  # (K*C_out, C_in, 1, 1)
+    kco, c_in = w.shape[0], w.shape[1]
+    c_out = kco // num_partitions
+    return {
+        "w": np.transpose(w.reshape(num_partitions, c_out, c_in), (2, 0, 1)),
+        "b": ref_sc.W.bias.detach().numpy().reshape(num_partitions, c_out),
+    }
+
+
+
+@pytest.fixture()
+def f64_reference():
+    """Make ``.double()`` reference modules actually run in float64.
+
+    The reference hardcodes ``.float()`` casts inside forward
+    (st_graphconv.py:73,98), which would silently demote the float64 oracle
+    back to float32; no-op the cast for the duration of a parity test.
+    """
+    orig = torch.Tensor.float
+    torch.Tensor.float = lambda self: self
+    try:
+        yield
+    finally:
+        torch.Tensor.float = orig
+
+@pytest.fixture(scope="module")
+def A_ref():
+    """Reference-mode (dense-Lambda) normalized distance-partition adjacency."""
+    return adj.get_normalized_adjacency(adj.Strategy.DISTANCE, d=2,
+                                        mode="reference").astype(np.float64)
+
+
+class TestSpatialConvParity:
+    def test_float64_exact(self, reference_modules, A_ref, rng):
+        gc = reference_modules["graphconv"]
+        N, C_in, C_out, T = 8, 2, 64, 100
+        K = A_ref.shape[0]
+        ref = gc.SpatialConv(C_in, C_out, torch.from_numpy(A_ref)).double()
+        x = rng.standard_normal((N, C_in, T, 25))
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x)).numpy()
+
+        params = {
+            "w": ref.W.weight.detach().numpy()
+                 .reshape(K, C_out, C_in).transpose(2, 0, 1),
+            "b": ref.W.bias.detach().numpy().reshape(K, C_out),
+        }
+        got = spatial_conv(
+            {k: jnp.asarray(v) for k, v in params.items()},
+            jnp.asarray(ref.A.detach().numpy()),
+            jnp.asarray(_to_ours_layout(x)),
+            precision=HI,
+        )
+        got = _from_ours_layout(got)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-8)
+
+    def test_float32_symmetric_norm(self, reference_modules, rng):
+        """Production-numerics check over the sane normalization path."""
+        gc = reference_modules["graphconv"]
+        A = adj.get_normalized_adjacency(adj.Strategy.DISTANCE, d=2,
+                                         mode="symmetric")
+        N, C_in, C_out, T = 8, 2, 64, 100
+        K = A.shape[0]
+        ref = gc.SpatialConv(C_in, C_out, torch.from_numpy(A))
+        x = rng.standard_normal((N, C_in, T, 25)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x)).numpy()
+        params = _spatial_params_from_ref(ref, K)
+        got = spatial_conv(
+            {k: jnp.asarray(v) for k, v in params.items()},
+            jnp.asarray(ref.A.detach().numpy()),
+            jnp.asarray(_to_ours_layout(x)), precision=HI)
+        np.testing.assert_allclose(_from_ours_layout(got), want,
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestTemporalConvParity:
+    def test_forward_allclose(self, rng):
+        N, C, T, V, gamma, stride = 4, 32, 50, 25, 9, 2
+        conv = torch.nn.Conv2d(C, C, (gamma, 1), stride=(stride, 1),
+                               padding=((gamma - 1) // 2, 0))
+        x = rng.standard_normal((N, C, T, V)).astype(np.float32)
+        with torch.no_grad():
+            want = conv(torch.from_numpy(x)).numpy()
+        params = {
+            "w": jnp.asarray(np.transpose(conv.weight.detach().numpy(),
+                                          (2, 3, 1, 0))),
+            "b": jnp.asarray(conv.bias.detach().numpy()),
+        }
+        got = temporal_conv(params, jnp.asarray(_to_ours_layout(x)),
+                            stride=stride, precision=HI)
+        np.testing.assert_allclose(_from_ours_layout(got), want,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_odd_length_stride2(self, rng):
+        """Output length must match torch's floor((T + 2p - gamma)/s) + 1."""
+        for T in (29, 30, 31):
+            conv = torch.nn.Conv2d(8, 8, (9, 1), stride=(2, 1), padding=(4, 0))
+            x = rng.standard_normal((1, 8, T, 25)).astype(np.float32)
+            with torch.no_grad():
+                want = conv(torch.from_numpy(x)).numpy()
+            params = {
+                "w": jnp.asarray(np.transpose(conv.weight.detach().numpy(),
+                                              (2, 3, 1, 0))),
+                "b": jnp.asarray(conv.bias.detach().numpy()),
+            }
+            got = temporal_conv(params, jnp.asarray(_to_ours_layout(x)),
+                                stride=2, precision=HI)
+            assert _from_ours_layout(got).shape == want.shape
+
+
+def _block_pytrees_from_ref(ref_block, num_partitions, residual):
+    """Copy one SpatialTemporalConv's weights via the importer mapping."""
+    sd = {f"conv.0.{k}": v for k, v in ref_block.state_dict().items()}
+    sd["fc_layer.weight"] = np.zeros((1, 1))
+    sd["fc_layer.bias"] = np.zeros(1)
+    params, state = import_state_dict(sd, 1, num_partitions, residual=residual)
+    return params["blocks"][0], state["blocks"][0]
+
+
+class TestBlockParity:
+    @pytest.mark.parametrize("residual,c_in,c_out,stride", [
+        (False, 2, 64, 1),
+        (False, 64, 128, 2),
+        (True, 64, 64, 1),   # identity shortcut
+        (True, 64, 128, 2),  # strided 1x1 projection shortcut
+    ])
+    @pytest.mark.parametrize("train", [False, True])
+    def test_block_allclose_f64(self, reference_modules, A_ref, rng,
+                                f64_reference,
+                                residual, c_in, c_out, stride, train):
+        gc = reference_modules["graphconv"]
+        N, T = 4, 40
+        K = A_ref.shape[0]
+        gamma = 9
+        ref = gc.SpatialTemporalConv(
+            c_in, c_out, torch.from_numpy(A_ref), gamma, stride,
+            (gamma - 1) // 2, dropout_rate=0, residual=residual).double()
+        ref.train(train)
+        # capture weights/state BEFORE the oracle forward mutates running stats
+        params, state = _block_pytrees_from_ref(ref, K, residual)
+        x = rng.standard_normal((N, c_in, T, 25))
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x)).numpy()
+        params = jax.tree.map(jnp.asarray, params)
+        state = jax.tree.map(jnp.asarray, state)
+        got, new_state = block_forward(
+            params, state, jnp.asarray(_to_ours_layout(x)),
+            jnp.asarray(A_ref), stride=stride, residual=residual,
+            train=train, precision=HI)
+        got = _from_ours_layout(got)
+        if train:
+            new_state = jax.tree.map(np.asarray, new_state)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+        if train:
+            # running stats must track torch's biased-normalize /
+            # unbiased-running semantics
+            np.testing.assert_allclose(
+                new_state["bn1"]["mean"], ref.batch_n.running_mean.numpy(),
+                rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(
+                new_state["bn1"]["var"], ref.batch_n.running_var.numpy(),
+                rtol=1e-10, atol=1e-12)
+
+
+class TestFullNetworkParity:
+    @pytest.mark.parametrize("train", [False, True])
+    def test_stgcn_inference_variant(self, reference_modules, rng, train,
+                                     f64_reference):
+        """Full 10-block stack vs the reference STGCN (src/network/stgcn.py).
+
+        Uses uni-labeling + reference normalization + trained-adjacency
+        semantics + final softmax — the exact quirk set of the inference
+        variant (Q1, Q2, Q4, Q5).
+        """
+        import sys
+        if "/root/reference/src" not in sys.path:
+            sys.path.insert(0, "/root/reference/src")
+        from network.stgcn import STGCN as RefSTGCN
+
+        ref = RefSTGCN(C_in=2, gamma=9, nr_classes=6,
+                       edge_importance=False).double()
+        ref.train(train)
+        # The inference variant hardwires dropout_rate=0.5
+        # (st_graphconv.py:9); park just the dropout modules in eval so the
+        # train-mode comparison exercises batch-stat BN without RNG noise.
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Dropout):
+                m.eval()
+        # capture weights/state BEFORE the oracle forward mutates running stats
+        sd = {k: v.clone() for k, v in ref.state_dict().items()}
+        N, T = 2, 30
+        x = rng.standard_normal((N, T, 25, 2))
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x)).numpy()
+
+        cfg = STGCNConfig(norm_mode="reference",
+                          adjacency_mode="reference",
+                          final_softmax=True, dtype=jnp.float64)
+        model = STGCN(cfg)
+        params, state = import_state_dict(sd, num_blocks=10,
+                                          num_partitions=1)
+        params = jax.tree.map(jnp.asarray, params)
+        state = jax.tree.map(jnp.asarray, state)
+        got, _ = model.apply(params, state, jnp.asarray(x), train=train,
+                             precision=HI)
+        got = np.asarray(got)
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
