@@ -1,0 +1,160 @@
+"""Training entry point.
+
+Counterpart of the reference's ``python src/lightning_model.py ...``
+(src/lightning_model.py:310-327): parse config, build datasets/splits, train,
+test, checkpoint.  Run as::
+
+    python -m stgcn_tpu.cli.train --data.synthetic true --train.epochs 5
+
+With no dataset paths and ``--data.synthetic true``, a synthetic KTH-shaped
+dataset is generated under ``/tmp/stgcn_synth`` (the real KTH data is not
+redistributable; point --data.metadata_file/--data.dataset_dir at it when
+available).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+from stgcn_tpu.data import (
+    MetadataSplitter,
+    SkeletonDataset,
+    batches,
+    calculate_distances,
+    generate_dataset,
+    make_augmenter,
+)
+from stgcn_tpu.graph.adjacency import Strategy
+from stgcn_tpu.models.stgcn import STGCN
+from stgcn_tpu.training.config import (
+    ExperimentConfig,
+    model_config_from,
+    parse_config,
+)
+from stgcn_tpu.training.loop import EarlyStopping, Trainer
+from stgcn_tpu.utils.logging import CsvLogger, MultiLogger, TensorBoardLogger
+
+
+def build_datasets(cfg: ExperimentConfig):
+    d = cfg.data
+    meta_file, data_dir = d.metadata_file, d.dataset_dir
+    if not meta_file:
+        if not d.synthetic:
+            raise SystemExit(
+                "no --data.metadata_file given; pass --data.synthetic true "
+                "to generate synthetic data")
+        data_dir = os.path.join(tempfile.gettempdir(), "stgcn_synth")
+        meta_file = os.path.join(data_dir, "metadata.csv")
+        if not os.path.exists(meta_file):
+            print(f"[data] generating synthetic KTH-format dataset in {data_dir}")
+            generate_dataset(data_dir, seed=d.seed)
+
+    splitter = MetadataSplitter(meta_file)
+    if d.data_split == 0:
+        subjects = sorted(set(splitter.metadata["subject"]))
+        n = len(subjects)
+        tr_n = max(1, int(round(n * 0.6)))
+        va_n = max(1, int(round(n * 0.2)))
+        te_n = n - tr_n - va_n
+        if n == 25:  # reference split (src/data/datasets.py:22)
+            tr_n, va_n, te_n = 15, 5, 5
+        train_idx, val_idx, test_idx = splitter.split_by_subject(
+            train=tr_n, val=va_n, test=te_n)
+    elif d.data_split == 1:
+        train_idx, val_idx, test_idx = splitter.split_by_scenario(
+            list(d.train_scenarios), list(d.val_scenarios))
+    else:
+        train_idx, val_idx, test_idx = splitter.split_stratified(seed=d.seed)
+
+    transforms = make_augmenter(compat=d.augment_compat) if d.augment_data else None
+    train_ds = SkeletonDataset(meta_file, data_dir, train_idx,
+                               transforms=transforms, seed=d.seed)
+    val_ds = SkeletonDataset(meta_file, data_dir, val_idx)
+    test_ds = SkeletonDataset(meta_file, data_dir, test_idx)
+    return train_ds, val_ds, test_ds
+
+
+def resolve_distances(cfg: ExperimentConfig, train_ds) -> np.ndarray | None:
+    """Spatial-configuration partitioning needs gravity-center distances;
+    compute them from the training set when no file is given
+    (the reference requires a precomputed file, adjacency.py:99-100)."""
+    if Strategy(cfg.model.partitioning) != Strategy.SPATIAL_CONFIGURATION:
+        return None
+    if cfg.data.distance_file:
+        return np.load(cfg.data.distance_file)
+    print("[data] computing gravity-center distances from the training set")
+    return calculate_distances(train_ds)
+
+
+def main(argv: list[str] | None = None) -> int:
+    cfg = parse_config(argv)
+    print(cfg.to_json())
+
+    train_ds, val_ds, test_ds = build_datasets(cfg)
+    print(f"[data] splits: train={len(train_ds)} val={len(val_ds)} "
+          f"test={len(test_ds)}")
+
+    distances = resolve_distances(cfg, train_ds)
+    model = STGCN(model_config_from(cfg), distances=distances)
+
+    d = cfg.data
+    collate_kwargs = dict(mode=d.collate_mode, fixed_len=d.fixed_len)
+
+    def train_stream(epoch: int):
+        return batches(train_ds, d.batch_size, shuffle=True,
+                       seed=d.seed + epoch, drop_remainder=False,
+                       sort_by_length=d.sort_by_length, **collate_kwargs)
+
+    def val_stream():
+        return batches(val_ds, d.batch_size, **collate_kwargs)
+
+    t = cfg.train
+    loggers = []
+    if t.log_dir:
+        loggers = [CsvLogger(t.log_dir), TensorBoardLogger(t.log_dir)]
+    logger = MultiLogger(*loggers) if loggers else None
+
+    trainer = Trainer(
+        model, lr=t.lr, logger=logger,
+        checkpoint_dir=t.checkpoint_dir,
+        checkpoint_every_epochs=t.checkpoint_every_epochs,
+        log_every_steps=t.log_every_steps, seed=t.seed,
+        debug_nans=t.debug_nans,
+    )
+    state = trainer.init_state()
+    start_epoch = 0
+    if t.resume and t.checkpoint_dir:
+        state, start_epoch = trainer.maybe_resume(state)
+        if start_epoch:
+            print(f"[ckpt] resumed from epoch {start_epoch}")
+
+    early = EarlyStopping(patience=t.early_stop_patience,
+                          min_delta=t.early_stop_min_delta) \
+        if t.use_early_stopping else None
+
+    result = trainer.fit(
+        state, train_stream, val_stream,
+        epochs=t.epochs, min_epochs=t.min_epochs, start_epoch=start_epoch,
+        early_stopping=early, eval_every_epochs=t.eval_every_epochs)
+
+    for h in result.history[-3:]:
+        print("[epoch]", h)
+
+    test_metrics = trainer.evaluate(
+        result.final_state, batches(test_ds, d.batch_size, **collate_kwargs))
+    result.test_metrics = test_metrics
+    print(f"[test] loss={test_metrics['loss']:.4f} "
+          f"acc={test_metrics['acc']:.4f} n={test_metrics['count']}")
+    print("[test] confusion matrix:\n", test_metrics["confusion_matrix"])
+    if logger:
+        logger.log("test_acc", result.epochs_run, test_metrics["acc"])
+        logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

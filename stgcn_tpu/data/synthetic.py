@@ -1,0 +1,131 @@
+"""Synthetic KTH-format skeleton data.
+
+The real KTH Action Dataset is not redistributable with the repo (the
+reference's ``datasets/`` directory ships empty, only a .gitignore), so this
+module fabricates structurally identical data — per-video ``(T, 25, 3)``
+``.npy`` files plus a ``metadata.csv`` with subject/action/scenario/filename
+columns — for tests, end-to-end training demos and benchmarks.
+
+Motion is class-dependent (distinct limb oscillation frequencies, amplitudes
+and drift per action) so a model trained on it actually has signal to learn,
+which the training-runtime tests rely on.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from stgcn_tpu.graph.skeleton import EDGES, KTH_LABELS, NUM_JOINTS
+
+# A rough upright rest pose (x right, y down, OpenPose pixel-ish units).
+_REST_POSE = np.array([
+    [80, 30],   # Nose
+    [80, 50],   # Neck
+    [65, 50],   # RShoulder
+    [58, 75],   # RElbow
+    [55, 100],  # RWrist
+    [95, 50],   # LShoulder
+    [102, 75],  # LElbow
+    [105, 100], # LWrist
+    [80, 105],  # MidHip
+    [70, 105],  # RHip
+    [68, 140],  # RKnee
+    [66, 175],  # RAnkle
+    [90, 105],  # LHip
+    [92, 140],  # LKnee
+    [94, 175],  # LAnkle
+    [75, 27],   # REye
+    [85, 27],   # LEye
+    [70, 30],   # REar
+    [90, 30],   # LEar
+    [98, 185],  # LBigToe
+    [101, 184], # LSmallToe
+    [92, 180],  # LHeel
+    [62, 185],  # RBigToe
+    [59, 184],  # RSmallToe
+    [68, 180],  # RHeel
+], dtype=np.float64)
+
+# Per-action motion programs: (moving joints, frequency, amplitude, x-drift).
+_ACTION_MOTION = {
+    "boxing":       ([3, 4, 6, 7], 0.9, 18.0, 0.0),
+    "handclapping": ([3, 4, 6, 7], 0.5, 10.0, 0.0),
+    "handwaving":   ([2, 3, 4, 5, 6, 7], 0.3, 25.0, 0.0),
+    "jogging":      ([10, 11, 13, 14, 3, 6], 0.7, 12.0, 1.2),
+    "running":      ([10, 11, 13, 14, 3, 6], 1.1, 16.0, 2.2),
+    "walking":      ([10, 11, 13, 14], 0.4, 8.0, 0.6),
+}
+
+
+def synth_sequence(action: str, rng: np.random.Generator,
+                   t_range: tuple[int, int] = (120, 480)) -> np.ndarray:
+    """One ``(T, 25, 3)`` sequence with class-dependent motion + noise."""
+    T = int(rng.integers(*t_range))
+    joints, freq, amp, drift = _ACTION_MOTION[action]
+    pose = _REST_POSE + rng.normal(0, 2.0, _REST_POSE.shape)
+    seq = np.tile(pose, (T, 1, 1))
+    tt = np.arange(T)[:, None]
+    phase = rng.uniform(0, 2 * np.pi)
+    osc = np.sin(freq * tt + phase)
+    for j in joints:
+        direction = rng.normal(0, 1.0, 2)
+        direction /= np.linalg.norm(direction) + 1e-9
+        seq[:, j, :] += amp * osc * direction
+    seq[:, :, 0] += drift * tt  # whole-body horizontal drift
+    seq += rng.normal(0, 0.8, seq.shape)  # keypoint jitter
+    conf = rng.uniform(0.5, 1.0, (T, NUM_JOINTS, 1))
+    return np.concatenate([seq, conf], axis=-1).astype(np.float32)
+
+
+def generate_dataset(
+    out_dir: str,
+    num_subjects: int = 25,
+    scenarios: tuple[str, ...] = ("d1", "d2", "d3", "d4"),
+    actions: tuple[str, ...] = tuple(KTH_LABELS),
+    t_range: tuple[int, int] = (120, 480),
+    seed: int = 0,
+    skip_one: bool = True,
+) -> str:
+    """Write a synthetic KTH-shaped dataset; returns the metadata.csv path.
+
+    ``skip_one`` drops one (subject, action, scenario) combination to mirror
+    the real dataset's 599-of-600 missing video
+    (src/data/process_openpose.py:91).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    meta = {"subject": [], "action": [], "scenario": [], "filename": []}
+    skipped = False
+    for s in range(1, num_subjects + 1):
+        subject = f"person{s:02d}"
+        for action in actions:
+            for scen in scenarios:
+                if skip_one and not skipped:
+                    skipped = True
+                    continue
+                fname = f"{subject}_{action}_{scen}.npy"
+                np.save(os.path.join(out_dir, fname),
+                        synth_sequence(action, rng, t_range))
+                meta["subject"].append(subject)
+                meta["action"].append(action)
+                meta["scenario"].append(scen)
+                meta["filename"].append(fname)
+    meta_path = os.path.join(out_dir, "metadata.csv")
+    pd.DataFrame(meta).to_csv(meta_path, index=False)
+    return meta_path
+
+
+def random_batch(rng: np.random.Generator, batch: int, t: int,
+                 num_classes: int = 6) -> tuple[np.ndarray, np.ndarray]:
+    """In-memory labeled batch for benchmarks: ``(x (N,T,25,2), y (N,))``."""
+    actions = list(KTH_LABELS)[:num_classes]
+    xs, ys = [], []
+    for _ in range(batch):
+        a = actions[int(rng.integers(num_classes))]
+        seq = synth_sequence(a, rng, (t, t + 1))[:, :, :2]
+        xs.append(seq)
+        ys.append(KTH_LABELS[a])
+    return np.stack(xs), np.asarray(ys, np.int64)

@@ -1,0 +1,200 @@
+"""Typed experiment configuration with CLI overrides.
+
+Single source of truth replacing the reference's three-tier argparse setup
+(src/lightning_model.py:255-307).  Every reference knob is preserved
+(partitioning strategy, d, gamma, dropout, residual, edge importance +
+jitter, data split mode, scenarios, augmentation, early stopping, batch
+size, lr) plus the TPU-native additions (precision, collation mode, mesh
+axes).  Booleans parse properly (the reference's ``type=bool`` argparse
+footgun is deliberately not replicated).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any
+
+from stgcn_tpu.graph.adjacency import Strategy
+
+
+@dataclasses.dataclass
+class ModelSection:
+    c_in: int = 2
+    num_classes: int = 6
+    gamma: int = 9
+    partitioning: int = int(Strategy.UNI_LABELING)
+    d: int = 1
+    norm_mode: str = "symmetric"      # or "reference" (dense-Lambda compat)
+    adjacency_mode: str = "mask"      # "reference" | "mask" | "fixed"
+    use_edge_importance: bool = False  # False -> adjacency_mode "fixed"
+    max_mask_jitter: float = 0.001
+    dropout_rate: float = 0.0
+    residual: bool = False
+    num_layers: int = 10              # 10 (code) or 9 (report variant)
+    final_softmax: bool = False
+
+
+@dataclasses.dataclass
+class DataSection:
+    metadata_file: str = ""
+    dataset_dir: str = ""
+    distance_file: str = ""
+    data_split: int = 0               # 0 subject, 1 scenario, 2 stratified
+    train_scenarios: tuple[str, ...] = ("d1", "d2")
+    val_scenarios: tuple[str, ...] = ("d3",)
+    augment_data: bool = False
+    augment_compat: bool = True       # reproduce Q3 quirks
+    collate_mode: str = "bucket"      # "max" (parity) | "bucket" | "fixed"
+    fixed_len: int = 256
+    batch_size: int = 16
+    sort_by_length: bool = True
+    synthetic: bool = False           # generate synthetic data if paths empty
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class TrainSection:
+    lr: float = 1e-4
+    epochs: int = 50
+    min_epochs: int = 0
+    use_early_stopping: bool = False
+    early_stop_patience: int = 100
+    early_stop_min_delta: float = 0.0
+    checkpoint_dir: str = ""
+    checkpoint_every_epochs: int = 10
+    resume: bool = False
+    log_dir: str = ""
+    log_every_steps: int = 10
+    eval_every_epochs: int = 1
+    seed: int = 0
+    debug_nans: bool = False
+
+
+@dataclasses.dataclass
+class ParallelSection:
+    data_axis: int = 1                # mesh size along batch axis
+    time_axis: int = 1                # mesh size along temporal axis
+    model_axis: int = 1               # mesh size along channel axis
+    precision: str = "default"        # "default" | "highest" | "bfloat16"
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    model: ModelSection = dataclasses.field(default_factory=ModelSection)
+    data: DataSection = dataclasses.field(default_factory=DataSection)
+    train: TrainSection = dataclasses.field(default_factory=TrainSection)
+    parallel: ParallelSection = dataclasses.field(default_factory=ParallelSection)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ExperimentConfig":
+        def build(section_cls, sub):
+            fields = {f.name: f for f in dataclasses.fields(section_cls)}
+            kwargs = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    raise KeyError(f"unknown config key {section_cls.__name__}.{k}")
+                if isinstance(fields[k].default, tuple) or (
+                        isinstance(v, list)):
+                    v = tuple(v) if isinstance(v, list) else v
+                kwargs[k] = v
+            return section_cls(**kwargs)
+
+        return cls(
+            model=build(ModelSection, d.get("model", {})),
+            data=build(DataSection, d.get("data", {})),
+            train=build(TrainSection, d.get("train", {})),
+            parallel=build(ParallelSection, d.get("parallel", {})),
+        )
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("1", "true", "yes", "on"):
+        return True
+    if v.lower() in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"not a boolean: {v!r}")
+
+
+def build_argument_parser() -> argparse.ArgumentParser:
+    """Flat ``--section.key value`` CLI over the dataclass tree."""
+    parser = argparse.ArgumentParser(
+        description="tpu-stgcn training",
+        fromfile_prefix_chars="@",
+    )
+    parser.add_argument("--config", type=str, default="",
+                        help="JSON config file to start from")
+    cfg = ExperimentConfig()
+    for section_name in ("model", "data", "train", "parallel"):
+        section = getattr(cfg, section_name)
+        for f in dataclasses.fields(section):
+            default = getattr(section, f.name)
+            arg = f"--{section_name}.{f.name}"
+            if isinstance(default, bool):
+                parser.add_argument(arg, type=_str2bool, default=None,
+                                    metavar="BOOL")
+            elif isinstance(default, tuple):
+                parser.add_argument(arg, type=str, default=None,
+                                    help="comma-separated list")
+            elif isinstance(default, (int, float, str)):
+                parser.add_argument(arg, type=type(default), default=None)
+    return parser
+
+
+def parse_config(argv: list[str] | None = None) -> ExperimentConfig:
+    parser = build_argument_parser()
+    args = parser.parse_args(argv)
+    if args.config:
+        with open(args.config) as f:
+            cfg = ExperimentConfig.from_dict(json.load(f))
+    else:
+        cfg = ExperimentConfig()
+    for key, value in vars(args).items():
+        if key == "config" or value is None:
+            continue
+        section_name, field_name = key.split(".", 1)
+        section = getattr(cfg, section_name)
+        current = getattr(section, field_name)
+        if isinstance(current, tuple) and isinstance(value, str):
+            value = tuple(x for x in value.split(",") if x)
+        setattr(section, field_name, value)
+    return cfg
+
+
+def model_config_from(cfg: ExperimentConfig) -> "Any":
+    """Map the experiment config onto an :class:`STGCNConfig`."""
+    from stgcn_tpu.models.stgcn import DEFAULT_PLAN, PLAN_9, STGCNConfig
+
+    m = cfg.model
+    if m.num_layers == 10:
+        plan = DEFAULT_PLAN
+    elif m.num_layers == 9:
+        plan = PLAN_9
+    else:
+        raise ValueError("num_layers must be 9 or 10")
+    adjacency_mode = m.adjacency_mode
+    if not m.use_edge_importance and adjacency_mode == "mask":
+        adjacency_mode = "fixed"
+    return STGCNConfig(
+        c_in=m.c_in,
+        num_classes=m.num_classes,
+        gamma=m.gamma,
+        strategy=Strategy(m.partitioning),
+        d=m.d,
+        norm_mode=m.norm_mode,
+        adjacency_mode=adjacency_mode,
+        mask_jitter=m.max_mask_jitter if m.use_edge_importance else 0.0,
+        dropout_rate=m.dropout_rate,
+        residual=m.residual,
+        final_softmax=m.final_softmax,
+        plan=plan,
+    )

@@ -1,0 +1,1 @@
+from stgcn_tpu.utils.logging import CsvLogger, MultiLogger, TensorBoardLogger

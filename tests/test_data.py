@@ -1,0 +1,277 @@
+"""Data layer tests: collation, splits, augmentation, distances, ingestion.
+
+Property tests mirroring the reference's observable behaviors (wrap-padding
+util.py:12-47, split invariants datasets.py:47,61,76, augmentation purity
+augmentation.py:84, gravity-center distances calculate_distances.py:7-48).
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from stgcn_tpu.data import (
+    MetadataSplitter,
+    SkeletonDataset,
+    augment_sequence,
+    batches,
+    calculate_distances,
+    collate,
+    generate_dataset,
+    make_augmenter,
+    wrap_pad,
+)
+from stgcn_tpu.data.openpose import process_openpose, videos_to_reprocess
+from stgcn_tpu.data.distances import calculate_distances_from_dir
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kth")
+    # small synthetic set: 6 subjects x 6 actions x 2 scenarios - 1 = 71
+    generate_dataset(str(d), num_subjects=6, scenarios=("d1", "d2"),
+                     t_range=(40, 120), seed=1)
+    return str(d)
+
+
+class TestWrapPad:
+    def test_wrap_semantics(self):
+        seq = np.arange(3 * 25 * 2, dtype=np.float32).reshape(3, 25, 2)
+        out = wrap_pad(seq, 8)
+        assert out.shape == (8, 25, 2)
+        np.testing.assert_array_equal(out[3], seq[0])  # wraps to start
+        np.testing.assert_array_equal(out[7], seq[1])
+
+    def test_reference_parity(self, reference_modules):
+        import sys
+        sys.path.insert(0, "/root/reference/src")
+        from data.util import pad_array_with_loops
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 7, 25, 2))
+        want = pad_array_with_loops(x, 20)[0]
+        got = wrap_pad(x[0], 20)
+        np.testing.assert_array_equal(got, want)
+
+    def test_crop(self):
+        seq = np.zeros((10, 25, 2))
+        assert wrap_pad(seq, 4).shape == (4, 25, 2)
+
+
+class TestCollate:
+    def _batch(self, lengths):
+        rng = np.random.default_rng(0)
+        return [(rng.standard_normal((t, 25, 2)).astype(np.float32), i % 6)
+                for i, t in enumerate(lengths)]
+
+    def test_max_mode(self):
+        x, y, lens = collate(self._batch([10, 17, 5]), mode="max")
+        assert x.shape == (3, 17, 25, 2)
+        np.testing.assert_array_equal(lens, [10, 17, 5])
+        np.testing.assert_array_equal(y, [0, 1, 2])
+
+    def test_bucket_mode(self):
+        x, _, _ = collate(self._batch([10, 70, 5]), mode="bucket",
+                          buckets=(64, 96, 128))
+        assert x.shape[1] == 96
+
+    def test_fixed_mode(self):
+        x, _, _ = collate(self._batch([10, 300]), mode="fixed", fixed_len=64)
+        assert x.shape[1] == 64
+
+    def test_batches_iterator(self, synth_dir):
+        ds = SkeletonDataset(os.path.join(synth_dir, "metadata.csv"),
+                             synth_dir, preload=False)
+        seen = 0
+        for x, y, lens in batches(ds, 16, shuffle=True, mode="bucket"):
+            assert x.ndim == 4 and x.shape[2:] == (25, 2)
+            assert len(y) == len(lens) == x.shape[0]
+            seen += x.shape[0]
+        assert seen == len(ds)
+
+    def test_sort_by_length_reduces_padding(self, synth_dir):
+        ds = SkeletonDataset(os.path.join(synth_dir, "metadata.csv"),
+                             synth_dir, preload=True)
+        def waste(sorted_):
+            total = padded = 0
+            for x, _, lens in batches(ds, 8, mode="max",
+                                      sort_by_length=sorted_):
+                total += int(lens.sum())
+                padded += x.shape[0] * x.shape[1]
+            return padded / total
+        assert waste(True) <= waste(False)
+
+
+class TestSplits:
+    @pytest.fixture(scope="class")
+    def meta(self, synth_dir):
+        return pd.read_csv(os.path.join(synth_dir, "metadata.csv"))
+
+    def test_subject_split_partitions(self, meta):
+        sp = MetadataSplitter(meta)
+        tr, va, te = sp.split_by_subject(train=4, val=1, test=1)
+        assert len(tr) + len(va) + len(te) == len(meta)
+        subj = lambda idx: set(meta.loc[idx, "subject"])
+        assert not (subj(tr) & subj(va)) and not (subj(tr) & subj(te))
+
+    def test_subject_split_deterministic_sorted(self, meta):
+        sp = MetadataSplitter(meta)
+        a = sp.split_by_subject(train=4, val=1, test=1)
+        b = sp.split_by_subject(train=4, val=1, test=1)
+        assert a == b
+
+    def test_scenario_split(self, meta):
+        sp = MetadataSplitter(meta)
+        tr, va, te = sp.split_by_scenario(["d1"], ["d2"])
+        assert len(tr) + len(va) + len(te) == len(meta)
+        assert set(meta.loc[tr, "scenario"]) == {"d1"}
+        assert set(meta.loc[va, "scenario"]) == {"d2"}
+        assert te == []  # only two scenarios in the fixture
+
+    def test_stratified_split(self, meta):
+        sp = MetadataSplitter(meta)
+        tr, va, te = sp.split_stratified(seed=3)
+        assert len(tr) + len(va) + len(te) == len(meta)
+        # stratification: every action present in every split
+        for part in (tr, va, te):
+            assert set(meta.loc[part, "action"]) == set(meta["action"])
+
+    def test_bad_subject_counts_raise(self, meta):
+        with pytest.raises(ValueError):
+            MetadataSplitter(meta).split_by_subject(train=20, val=4, test=5)
+
+
+class TestDataset:
+    def test_getitem_shape_and_label(self, synth_dir):
+        ds = SkeletonDataset(os.path.join(synth_dir, "metadata.csv"),
+                             synth_dir)
+        seq, label = ds[0]
+        assert seq.ndim == 3 and seq.shape[1:] == (25, 2)
+        assert 0 <= label < 6
+
+    def test_confidence_channel_kept(self, synth_dir):
+        ds = SkeletonDataset(os.path.join(synth_dir, "metadata.csv"),
+                             synth_dir, keep_confidence=True, preload=False)
+        seq, _ = ds[0]
+        assert seq.shape[2] == 3  # reference hard-exits here; we support it
+
+    def test_augmentation_seeded_coin(self, synth_dir):
+        meta = os.path.join(synth_dir, "metadata.csv")
+        aug = make_augmenter(compat=True)
+        a = SkeletonDataset(meta, synth_dir, transforms=aug, seed=7)
+        b = SkeletonDataset(meta, synth_dir, transforms=aug, seed=7)
+        for i in range(5):
+            np.testing.assert_array_equal(a[i][0], b[i][0])
+
+
+class TestAugmentation:
+    def test_pure(self, rng):
+        seq = rng.standard_normal((30, 25, 2)).astype(np.float32)
+        orig = seq.copy()
+        augment_sequence(seq, rng)
+        np.testing.assert_array_equal(seq, orig)
+
+    def test_compat_translation_noop(self):
+        """Q3: in compat mode the translation transform must not move points."""
+        seq = np.ones((4, 25, 2), np.float32)
+        for seed in range(50):
+            rng = np.random.default_rng(seed)
+            out = augment_sequence(seq, rng, compat=True)
+            # every compat transform is linear: origin maps to origin
+            z = augment_sequence(np.zeros_like(seq), np.random.default_rng(seed),
+                                 compat=True)
+            np.testing.assert_array_equal(z, 0)
+            assert np.isfinite(out).all()
+
+    def test_fixed_mode_translation_works(self):
+        moved = False
+        for seed in range(50):
+            rng = np.random.default_rng(seed)
+            z = augment_sequence(np.zeros((4, 25, 2), np.float32), rng,
+                                 compat=False)
+            if np.abs(z).max() > 0:
+                moved = True
+                break
+        assert moved
+
+    def test_rotation_parity_with_reference(self, reference_modules):
+        """Our row-vector rotation matches the reference's homogeneous product."""
+        import sys
+        sys.path.insert(0, "/root/reference/src")
+        from data.augmentation import augment_data
+
+        rng = np.random.default_rng(0)
+        seq = rng.standard_normal((1, 20, 25, 2))
+        # Draw until the reference applies a pure rotation (both slots rotation)
+        for trial in range(500):
+            np.random.seed(trial)
+            state = np.random.get_state()
+            chosen = np.random.choice(
+                ["rotation", "translation", "scaling", "flip"], 2)
+            if not (chosen[0] == chosen[1] == "rotation"):
+                continue
+            theta = np.radians(np.random.choice([15, -15, 5, -5, 10, -10]))
+            np.random.set_state(state)
+            want = augment_data(seq.copy())
+            c, s = np.cos(theta), np.sin(theta)
+            got = seq[0] @ np.array([[c, s], [-s, c]])
+            np.testing.assert_allclose(got, want[0], rtol=1e-10, atol=1e-12)
+            return
+        pytest.skip("no pure-rotation draw found")
+
+
+class TestDistances:
+    def test_single_frame_hand_computed(self, tmp_path):
+        seq = np.zeros((1, 25, 3), np.float32)
+        seq[0, 0, :2] = (0, 0)
+        seq[0, 1:, :2] = (25, 0)
+        # gravity center x = 24*25/25 = 24 -> dists: joint0=24, others=1
+        np.save(tmp_path / "a.npy", seq)
+        d = calculate_distances_from_dir(str(tmp_path))
+        np.testing.assert_allclose(d[0], 24.0)
+        np.testing.assert_allclose(d[1:], 1.0)
+
+    def test_dataset_variant_matches_dir_variant(self, synth_dir):
+        ds = SkeletonDataset(os.path.join(synth_dir, "metadata.csv"),
+                             synth_dir, preload=True)
+        a = calculate_distances(ds)
+        b = calculate_distances_from_dir(synth_dir)
+        np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+class TestOpenPoseIngestion:
+    def _write_json(self, path, kp):
+        with open(path, "w") as f:
+            json.dump({"people": [{"pose_keypoints_2d": list(map(float, kp))}]
+                       if kp is not None else []}, f)
+
+    def test_ingest_and_metadata(self, tmp_path):
+        kdir = tmp_path / "keypoints" / "boxing"
+        kdir.mkdir(parents=True)
+        stem = "person01_boxing_d1_uncomp"
+        for i in range(3):
+            kp = np.arange(75, dtype=float) + i
+            self._write_json(
+                kdir / f"{stem}_{i:012d}_keypoints.json", kp)
+        # one person-less frame -> skipped
+        self._write_json(kdir / f"{stem}_{3:012d}_keypoints.json", None)
+        out = tmp_path / "out"
+        meta_path = process_openpose(str(tmp_path / "keypoints"), str(out))
+        meta = pd.read_csv(meta_path)
+        assert len(meta) == 1
+        assert meta.loc[0, "filename"] == "person01_boxing_d1.npy"
+        seq = np.load(out / "person01_boxing_d1.npy")
+        assert seq.shape == (3, 25, 3)  # person-less frame dropped
+
+    def test_reprocess_detection(self, tmp_path):
+        kdir = tmp_path / "keypoints" / "walking"
+        kdir.mkdir(parents=True)
+        stem = "person02_walking_d2_uncomp"
+        for i in range(40):
+            kp = None if 5 <= i < 40 else list(np.zeros(75))
+            self._write_json(kdir / f"{stem}_{i:012d}_keypoints.json", kp)
+        redo = videos_to_reprocess(str(tmp_path / "keypoints"),
+                                   max_missing_run=30)
+        assert redo == [stem]

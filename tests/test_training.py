@@ -1,0 +1,233 @@
+"""Training runtime tests: metrics, step, checkpointing, early stopping,
+end-to-end learning on synthetic data (BASELINE.json configs 2-4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stgcn_tpu.data.synthetic import random_batch
+from stgcn_tpu.graph.adjacency import Strategy
+from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+from stgcn_tpu.training import metrics as M
+from stgcn_tpu.training.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from stgcn_tpu.training.loop import EarlyStopping, Trainer, make_train_step
+from stgcn_tpu.training.train_state import create_train_state
+
+TINY_PLAN = ((8, 1), (16, 2))  # 2 blocks keeps CPU tests fast
+
+
+def tiny_model(**kw):
+    defaults = dict(plan=TINY_PLAN, strategy=Strategy.DISTANCE, d=1)
+    defaults.update(kw)
+    return STGCN(STGCNConfig(**defaults))
+
+
+class TestMetrics:
+    def test_cross_entropy_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        logits = rng.standard_normal((16, 6)).astype(np.float32)
+        y = rng.integers(0, 6, 16)
+        want = torch.nn.functional.cross_entropy(
+            torch.from_numpy(logits), torch.from_numpy(y)).item()
+        got = float(M.cross_entropy(jnp.asarray(logits), jnp.asarray(y)))
+        assert abs(got - want) < 1e-6
+
+    def test_accuracy(self):
+        logits = jnp.asarray([[2.0, 1.0], [0.0, 3.0], [5.0, 0.0]])
+        y = jnp.asarray([0, 1, 1])
+        assert float(M.accuracy(logits, y)) == pytest.approx(2 / 3)
+
+    def test_confusion_matrix(self):
+        logits = jnp.asarray([[2.0, 1.0], [0.0, 3.0], [5.0, 0.0]])
+        y = jnp.asarray([0, 1, 1])
+        cm = np.asarray(M.confusion_matrix(logits, y, 2))
+        np.testing.assert_array_equal(cm, [[1, 0], [1, 1]])
+        assert cm.sum() == 3
+
+
+class TestTrainStep:
+    def test_loss_decreases_and_state_updates(self, rng):
+        model = tiny_model()
+        opt = optax.adam(1e-2)
+        ts = create_train_state(model, opt, seed=0)
+        x, y = random_batch(rng, 16, 32)
+        step = make_train_step(model, opt)
+        losses = []
+        for _ in range(10):
+            ts, m = step(ts, jnp.asarray(x), jnp.asarray(y))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(ts.step) == 10
+
+    def test_all_params_receive_gradients(self, rng):
+        """Q2 regression: with adjacency_mode='mask', the masks must train
+        (the reference's masks are dead parameters; ours must not be)."""
+        model = tiny_model(adjacency_mode="mask", mask_jitter=0.001)
+        opt = optax.adam(1e-2)
+        ts = create_train_state(model, opt, seed=0)
+        x, y = random_batch(rng, 8, 16)
+
+        def loss_fn(params):
+            logits, _ = model.apply(params, ts.model_state, jnp.asarray(x),
+                                    train=False)
+            return M.cross_entropy(logits, jnp.asarray(y))
+
+        grads = jax.grad(loss_fn)(ts.params)
+        for path, g in jax.tree_util.tree_flatten_with_path(grads)[0]:
+            mag = float(jnp.abs(g).max())
+            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                            for p in path)
+            assert np.isfinite(mag), name
+            assert mag > 0, f"dead parameter: {name}"
+
+    def test_reference_mode_trains_adjacency(self, rng):
+        model = tiny_model(adjacency_mode="reference")
+        opt = optax.adam(1e-2)
+        ts = create_train_state(model, opt, seed=0)
+        a_before = np.asarray(ts.params["blocks"][0]["A"]).copy()
+        step = make_train_step(model, opt)
+        x, y = random_batch(rng, 8, 16)
+        ts, _ = step(ts, jnp.asarray(x), jnp.asarray(y))
+        a_after = np.asarray(ts.params["blocks"][0]["A"])
+        assert np.abs(a_after - a_before).max() > 0
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, rng):
+        model = tiny_model()
+        opt = optax.adam(1e-3)
+        ts = create_train_state(model, opt, seed=0)
+        step = make_train_step(model, opt, donate=False)
+        x, y = random_batch(rng, 4, 16)
+        ts, _ = step(ts, jnp.asarray(x), jnp.asarray(y))
+
+        base = str(tmp_path / "ckpt_1")
+        save_checkpoint(base, ts, {"epoch": 1})
+        template = create_train_state(model, opt, seed=123)
+        restored = restore_checkpoint(base, template)
+
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(ts)[0],
+                jax.tree_util.tree_flatten_with_path(restored)[0]):
+            if jax.dtypes.issubdtype(getattr(a, "dtype", None),
+                                     jax.dtypes.prng_key):
+                a, b = jax.random.key_data(a), jax.random.key_data(b)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(pa))
+
+    def test_restored_state_continues_identically(self, tmp_path, rng):
+        model = tiny_model()
+        opt = optax.adam(1e-3)
+        ts = create_train_state(model, opt, seed=0)
+        x, y = random_batch(rng, 4, 16)
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        step = make_train_step(model, opt, donate=False)
+        ts, _ = step(ts, x, y)
+        save_checkpoint(str(tmp_path / "c"), ts, {})
+        restored = restore_checkpoint(str(tmp_path / "c"),
+                                      create_train_state(model, opt, seed=9))
+        a, ma = step(ts, x, y)
+        b, mb = step(restored, x, y)
+        assert float(ma["loss"]) == pytest.approx(float(mb["loss"]), rel=1e-6)
+
+    def test_latest_checkpoint(self, tmp_path):
+        model = tiny_model()
+        opt = optax.adam(1e-3)
+        ts = create_train_state(model, opt)
+        for s in (3, 10, 7):
+            save_checkpoint(str(tmp_path / f"ckpt_{s}"), ts, {"epoch": s})
+        assert latest_checkpoint(str(tmp_path)) == str(tmp_path / "ckpt_10")
+        assert latest_checkpoint(str(tmp_path / "nope")) is None
+
+
+class TestEarlyStopping:
+    def test_stops_after_patience(self):
+        es = EarlyStopping(patience=2)
+        assert not es.update(1.0)
+        assert not es.update(1.1)  # bad 1
+        assert not es.update(1.2)  # bad 2
+        assert es.update(1.3)      # bad 3 > patience
+
+    def test_improvement_resets(self):
+        es = EarlyStopping(patience=1)
+        es.update(1.0)
+        es.update(1.5)
+        assert not es.update(0.5)
+        assert not es.update(0.9)
+
+
+class TestEndToEnd:
+    def test_learns_synthetic_classes(self, rng, tmp_path):
+        """The full Trainer must fit an easily separable synthetic task."""
+        model = tiny_model(plan=((16, 1), (32, 2)), residual=True,
+                           num_classes=4)
+        trainer = Trainer(model, lr=1e-2, checkpoint_dir=str(tmp_path),
+                          checkpoint_every_epochs=8, seed=0)
+        # 4-class subset (distinct joint groups/frequencies) keeps the CPU
+        # budget small; full 6-class convergence is covered by the accuracy
+        # benchmark, not unit tests.
+        x, y = random_batch(rng, 48, 48, num_classes=4)
+
+        def train_stream(epoch):
+            order = np.random.default_rng(epoch).permutation(len(y))
+            for s in range(0, len(y), 16):
+                idx = order[s:s + 16]
+                yield x[idx], y[idx], np.full(len(idx), 48)
+
+        def val_stream():
+            yield x[:16], y[:16], np.full(16, 48)
+
+        state = trainer.init_state()
+        result = trainer.fit(state, train_stream, val_stream, epochs=25)
+        assert result.epochs_run == 25
+        assert result.history[-1]["train_acc"] > result.history[0]["train_acc"]
+        assert max(h["train_acc"] for h in result.history) > 0.55
+        # checkpoints were written
+        assert latest_checkpoint(str(tmp_path)) is not None
+
+    def test_resume_from_checkpoint(self, rng, tmp_path):
+        model = tiny_model()
+        trainer = Trainer(model, lr=1e-3, checkpoint_dir=str(tmp_path),
+                          checkpoint_every_epochs=1, seed=0)
+        x, y = random_batch(rng, 16, 16)
+
+        def stream(epoch=0):
+            yield x, y, np.full(len(y), 16)
+
+        state = trainer.init_state()
+        r1 = trainer.fit(state, stream, epochs=2)
+        state2, epoch = trainer.maybe_resume(trainer.init_state())
+        assert epoch == 2
+        np.testing.assert_array_equal(
+            np.asarray(state2.step), np.asarray(r1.final_state.step))
+
+
+class TestCLI:
+    def test_cli_synthetic_smoke(self, tmp_path, monkeypatch):
+        """BASELINE config 2/3 smoke: CLI end-to-end on synthetic data."""
+        from stgcn_tpu.cli.train import main
+        monkeypatch.setenv("TMPDIR", str(tmp_path))
+        import tempfile
+        tempfile.tempdir = None  # pick up monkeypatched TMPDIR
+        rc = main([
+            "--data.synthetic", "true",
+            "--train.epochs", "1",
+            "--data.batch_size", "16",
+            "--data.collate_mode", "fixed",
+            "--data.fixed_len", "32",
+            "--train.checkpoint_dir", str(tmp_path / "ckpt"),
+            "--train.log_dir", str(tmp_path / "logs"),
+        ])
+        assert rc == 0
+        assert latest_checkpoint(str(tmp_path / "ckpt")) is not None
+        assert os.path.exists(tmp_path / "logs" / "train_loss.csv")
+        tempfile.tempdir = None
