@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark: training throughput of the flagship ST-GCN on this chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+value        — steady-state fused-train-step throughput in sequences/s on an
+               NTU-scale batch (B=64, T=304 frames, 25 joints, 10 blocks).
+vs_baseline  — ratio vs the reference implementation (PyTorch, this host's
+               CPU — the reference has no accelerator-specific code and
+               publishes no throughput numbers; see BASELINE.md).  The torch
+               measurement runs on a smaller batch and is scaled linearly in
+               N*T (conv cost is linear in both), then cached in
+               .bench_baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH, T = 64, 304
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_baseline.json")
+REFERENCE_SRC = "/root/reference/src"
+
+
+def bench_ours(batch: int, t: int, steps: int = 20) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stgcn_tpu.data.synthetic import random_batch
+    from stgcn_tpu.graph.adjacency import Strategy
+    from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+    from stgcn_tpu.training.loop import make_train_step
+    from stgcn_tpu.training.train_state import create_train_state
+
+    model = STGCN(STGCNConfig(strategy=Strategy.DISTANCE, d=1, residual=True,
+                              dropout_rate=0.5))
+    opt = optax.adam(1e-3)
+    ts = create_train_state(model, opt, seed=0)
+    step = make_train_step(model, opt)
+    x, y = random_batch(np.random.default_rng(0), batch, t)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+
+    # warmup / compile
+    for _ in range(3):
+        ts, m = step(ts, x, y)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        ts, m = step(ts, x, y)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    return {
+        "step_time_s": dt,
+        "sequences_per_s": batch / dt,
+        "frames_per_s": batch * t / dt,
+        "backend": jax.default_backend(),
+    }
+
+
+def bench_reference_torch(batch: int = 4, t: int = 64, steps: int = 3) -> dict:
+    """Train-step time of the reference PyTorch model on this host's CPU."""
+    import contextlib
+
+    sys.path.insert(0, REFERENCE_SRC)
+    import torch
+    from network.stgcn import STGCN as RefSTGCN
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    # the reference constructor prints; keep stdout clean for the one-line
+    # JSON contract
+    with contextlib.redirect_stdout(sys.stderr):
+        model = RefSTGCN(C_in=2, gamma=9, nr_classes=6, edge_importance=False)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    crit = torch.nn.CrossEntropyLoss()
+    x = torch.randn(batch, t, 25, 2)
+    y = torch.randint(0, 6, (batch,))
+    # warmup
+    opt.zero_grad()
+    crit(model(x), y).backward()
+    opt.step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = crit(model(x), y)
+        loss.backward()
+        opt.step()
+    dt = (time.perf_counter() - t0) / steps
+    return {"step_time_s": dt, "batch": batch, "t": t}
+
+
+def reference_baseline_seq_per_s() -> float | None:
+    """sequences/s the reference achieves at (BATCH, T), linear-scaled."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)["sequences_per_s"]
+    if not os.path.isdir(REFERENCE_SRC):
+        return None
+    try:
+        r = bench_reference_torch()
+    except Exception as e:  # noqa: BLE001 - baseline is best-effort
+        print(f"[bench] reference baseline failed: {e}", file=sys.stderr)
+        return None
+    scale = (BATCH * T) / (r["batch"] * r["t"])
+    full_step = r["step_time_s"] * scale
+    seq_per_s = BATCH / full_step
+    with open(CACHE, "w") as f:
+        json.dump({"sequences_per_s": seq_per_s, "raw": r}, f)
+    return seq_per_s
+
+
+def main() -> int:
+    ours = bench_ours(BATCH, T)
+    base = reference_baseline_seq_per_s()
+    vs = ours["sequences_per_s"] / base if base else None
+    print(json.dumps({
+        "metric": "train_throughput_stgcn10_b64_t304",
+        "value": round(ours["sequences_per_s"], 2),
+        "unit": "sequences/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+    print(f"[bench] backend={ours['backend']} step={ours['step_time_s']*1e3:.1f}ms "
+          f"frames/s={ours['frames_per_s']:.0f} "
+          f"reference_cpu_seq_per_s={base and round(base, 3)}",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -104,6 +104,8 @@ class STGCN:
         time_mask: jax.Array | None = None,
         bn_axis_names=None,
         precision=None,
+        constrain=None,
+        temporal_impl: str = "conv",
     ) -> tuple[jax.Array, dict]:
         """Forward pass.
 
@@ -134,7 +136,8 @@ class STGCN:
                 stride=stride, residual=cfg.residual,
                 dropout_rate=cfg.dropout_rate, train=train,
                 dropout_rng=drop_keys[i], bn_axis_names=bn_axis_names,
-                precision=precision,
+                precision=precision, constrain=constrain,
+                temporal_impl=temporal_impl,
             )
             new_blocks_s.append(s)
             if time_mask is not None and stride != 1:

@@ -110,21 +110,33 @@ def block_forward(
     dropout_rng: jax.Array | None = None,
     bn_axis_names=None,
     precision=None,
+    constrain=None,
+    temporal_impl: str = "conv",
 ) -> tuple[jax.Array, dict]:
-    """One ST-GCN unit on ``(N, T, V, C_in)`` -> ``(N, T', V, C_out)``."""
+    """One ST-GCN unit on ``(N, T, V, C_in)`` -> ``(N, T', V, C_out)``.
+
+    ``constrain``: optional ``f(x, tag) -> x`` sharding-constraint hook with
+    tags ``"spatial_out"`` (channel-sharded under tensor parallelism) and
+    ``"block_out"`` (replicated channels).  Pinning these removes GSPMD
+    propagation ambiguity when time- and model-axis sharding combine.
+    """
     A = effective_adjacency(params, adjacency)
     new_state = dict(state)
+    c = constrain if constrain is not None else (lambda h, tag: h)
 
     if residual:
         res = x
         h, new_state["bn1"] = batchnorm(
             params["bn1"], state["bn1"], x, train=train, axis_names=bn_axis_names)
         h = jax.nn.relu(h)
-        h = spatial_conv(params["spatial"], A, h, precision=precision)
+        h = c(spatial_conv(params["spatial"], A, h, precision=precision),
+              "spatial_out")
         h, new_state["bn2"] = batchnorm(
             params["bn2"], state["bn2"], h, train=train, axis_names=bn_axis_names)
         h = jax.nn.relu(h)
-        h = temporal_conv(params["temporal"], h, stride=stride, precision=precision)
+        h = c(temporal_conv(params["temporal"], h, stride=stride,
+                            precision=precision, impl=temporal_impl),
+              "block_out")
         if "residual_proj" in params:
             shortcut = pointwise_conv(params["residual_proj"], res, stride=stride,
                                       precision=precision)
@@ -134,8 +146,11 @@ def block_forward(
     else:
         h, new_state["bn1"] = batchnorm(
             params["bn1"], state["bn1"], x, train=train, axis_names=bn_axis_names)
-        h = spatial_conv(params["spatial"], A, h, precision=precision)
-        h = temporal_conv(params["temporal"], h, stride=stride, precision=precision)
+        h = c(spatial_conv(params["spatial"], A, h, precision=precision),
+              "spatial_out")
+        h = c(temporal_conv(params["temporal"], h, stride=stride,
+                            precision=precision, impl=temporal_impl),
+              "block_out")
         out, new_state["bn2"] = batchnorm(
             params["bn2"], state["bn2"], h, train=train, axis_names=bn_axis_names)
 

@@ -43,16 +43,30 @@ def temporal_conv(
     stride: int = 1,
     padding: int | None = None,
     precision=None,
+    impl: str = "conv",
 ) -> jax.Array:
     """Apply the (gamma x 1) temporal conv to ``(N, T, V, C)`` input.
 
     ``padding=None`` means "same-ish" reference padding ``(gamma-1)//2`` on
     both temporal ends, zero joint padding — identical to the reference's
     explicit padding argument (src/lightning_model.py:45).
+
+    ``impl``:
+      * ``"conv"`` — ``lax.conv_general_dilated`` (implicit GEMM; the
+        single-chip fast path).
+      * ``"shift_sum"`` — sum over gamma shifted slices, each a channel
+        matmul.  Numerically identical, but its GSPMD backward is correct
+        under combined time-axis (window) + model-axis (channel) sharding,
+        where the conv primitive's backward double-counts upstream gradients
+        (XLA SPMD bug; see tests/test_sharding.py).  Used by the sharded
+        train step.
     """
     gamma = params["w"].shape[0]
     if padding is None:
         padding = (gamma - 1) // 2
+    if impl == "shift_sum":
+        return _temporal_conv_shift_sum(params, x, stride=stride,
+                                        padding=padding, precision=precision)
     out = lax.conv_general_dilated(
         x,
         params["w"].astype(x.dtype),
@@ -62,6 +76,25 @@ def temporal_conv(
         precision=precision,
         preferred_element_type=acc_dtype(x),
     )
+    return (out + params["b"]).astype(x.dtype)
+
+
+def _temporal_conv_shift_sum(params: dict, x: jax.Array, *, stride: int,
+                             padding: int, precision=None) -> jax.Array:
+    """Shift-and-matmul temporal conv: out_t = sum_g x[t*s + g - p] @ w[g]."""
+    w = params["w"]  # (gamma, 1, C_in, C_out)
+    gamma = w.shape[0]
+    t = x.shape[1]
+    t_out = (t + 2 * padding - gamma) // stride + 1
+    xp = jnp.pad(x, [(0, 0), (padding, padding), (0, 0), (0, 0)])
+    out = None
+    for g in range(gamma):
+        sl = lax.slice_in_dim(xp, g, g + stride * (t_out - 1) + 1,
+                              stride=stride, axis=1)
+        term = jnp.einsum("ntvi,io->ntvo", sl, w[g, 0],
+                          precision=precision,
+                          preferred_element_type=acc_dtype(x))
+        out = term if out is None else out + term
     return (out + params["b"]).astype(x.dtype)
 
 

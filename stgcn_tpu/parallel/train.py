@@ -1,0 +1,158 @@
+"""Sharded training/eval steps: one jitted step over a named mesh.
+
+GSPMD strategy: the *same* pure step function as the single-device runtime
+(stgcn_tpu.training.loop) is jitted with NamedShardings on params, optimizer
+state and batch.  XLA SPMD then materializes
+
+* the gradient all-reduce over ``data``/``time`` (replicated params),
+* the halo exchange for the temporal conv over ``time`` (window sharding),
+* the psum of the row-parallel temporal contraction over ``model``,
+* cross-replica BatchNorm for free: ``jnp.mean`` over a sharded batch axis
+  lowers to a partial sum + psum, so sharded BN statistics are *exactly*
+  the global-batch statistics — numerics match the single-device run to
+  float tolerance for every mesh shape (the determinism property tested in
+  tests/test_sharding.py).
+
+The explicit-collective fast path (double-buffered halo exchange fused into
+the Pallas temporal kernel) plugs in underneath later without changing this
+interface.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stgcn_tpu.parallel import mesh as mesh_lib
+from stgcn_tpu.training import metrics as M
+from stgcn_tpu.training.train_state import TrainState, create_train_state
+
+
+def _state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+    """NamedSharding pytree mirroring a TrainState.
+
+    Params follow the TP layout; Adam's mu/nu mirror their param's spec
+    (they are params-shaped subtrees, so the same spec-derivation applies);
+    BN state, step and rng are replicated.
+    """
+    param_specs = mesh_lib.param_partition_specs(state.params)
+    param_sh = mesh_lib.shardings_for(param_specs, mesh)
+    rep = mesh_lib.replicated(mesh)
+
+    def opt_state_shardings(opt_state):
+        def map_entry(entry):
+            # ScaleByAdamState(count, mu, nu): mu/nu are params-structured.
+            if hasattr(entry, "mu") and hasattr(entry, "nu"):
+                return entry.__class__(
+                    count=rep,
+                    mu=mesh_lib.shardings_for(
+                        mesh_lib.param_partition_specs(entry.mu), mesh),
+                    nu=mesh_lib.shardings_for(
+                        mesh_lib.param_partition_specs(entry.nu), mesh),
+                )
+            return jax.tree.map(lambda _: rep, entry)
+
+        if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+            return tuple(map_entry(e) for e in opt_state)
+        return map_entry(opt_state)
+
+    return TrainState(
+        params=param_sh,
+        model_state=jax.tree.map(lambda _: rep, state.model_state),
+        opt_state=opt_state_shardings(state.opt_state),
+        step=rep,
+        rng=rep,
+    )
+
+
+def create_sharded_train_state(
+    model, optimizer: optax.GradientTransformation, mesh: Mesh,
+    seed: int = 0,
+) -> tuple[TrainState, TrainState]:
+    """Initialize a TrainState already placed according to the mesh layout.
+
+    Returns ``(state, shardings)``.
+    """
+    state = create_train_state(model, optimizer, seed=seed)
+    shardings = _state_shardings(state, mesh)
+    state = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), state, shardings,
+        is_leaf=lambda x: isinstance(x, jax.Array))
+    return state, shardings
+
+
+def make_sharded_train_step(
+    model, optimizer: optax.GradientTransformation, mesh: Mesh,
+    shardings: TrainState, *, precision=None, donate: bool = True,
+) -> Callable:
+    """Sharded (state, x, y) -> (state, metrics) step."""
+    x_sh = NamedSharding(mesh, mesh_lib.batch_spec())
+    y_sh = NamedSharding(mesh, mesh_lib.label_spec())
+    rep = mesh_lib.replicated(mesh)
+    constrain = mesh_lib.activation_constrainer(mesh)
+
+    def step(ts: TrainState, x: jax.Array, y: jax.Array):
+        step_rng = jax.random.fold_in(ts.rng, ts.step)
+
+        def loss_fn(params):
+            logits, new_mstate = model.apply(
+                params, ts.model_state, x, train=True, rng=step_rng,
+                precision=precision, constrain=constrain,
+                temporal_impl="shift_sum")
+            return M.cross_entropy(logits, y), (logits, new_mstate)
+
+        (loss, (logits, new_mstate)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts.params)
+        updates, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        metrics = {"loss": loss, "acc": M.accuracy(logits, y)}
+        new_ts = TrainState(
+            params=new_params, model_state=new_mstate, opt_state=new_opt,
+            step=ts.step + 1, rng=ts.rng)
+        return new_ts, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(shardings, x_sh, y_sh),
+        out_shardings=(shardings, {"loss": rep, "acc": rep}),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_sharded_eval_step(model, mesh: Mesh, shardings: TrainState,
+                           *, precision=None) -> Callable:
+    x_sh = NamedSharding(mesh, mesh_lib.batch_spec())
+    y_sh = NamedSharding(mesh, mesh_lib.label_spec())
+    rep = mesh_lib.replicated(mesh)
+    num_classes = model.config.num_classes
+    constrain = mesh_lib.activation_constrainer(mesh)
+
+    def step(ts: TrainState, x: jax.Array, y: jax.Array):
+        logits, _ = model.apply(ts.params, ts.model_state, x, train=False,
+                                precision=precision, constrain=constrain,
+                                temporal_impl="shift_sum")
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+        pred = jnp.argmax(logits, axis=-1)
+        return {
+            "loss_sum": jnp.sum(nll),
+            "correct": jnp.sum((pred == y).astype(jnp.int32)),
+            "count": jnp.asarray(y.shape[0], jnp.int32),
+            "cm": M.confusion_matrix(logits, y, num_classes),
+        }
+
+    out_sh = {"loss_sum": rep, "correct": rep, "count": rep, "cm": rep}
+    return jax.jit(step, in_shardings=(shardings, x_sh, y_sh),
+                   out_shardings=out_sh)
+
+
+def shard_batch(x, y, mesh: Mesh):
+    """Place a host batch onto the mesh with the canonical batch sharding."""
+    return (
+        jax.device_put(x, NamedSharding(mesh, mesh_lib.batch_spec())),
+        jax.device_put(y, NamedSharding(mesh, mesh_lib.label_spec())),
+    )
