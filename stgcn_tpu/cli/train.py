@@ -136,10 +136,38 @@ def main(argv: list[str] | None = None) -> int:
                           min_delta=t.early_stop_min_delta) \
         if t.use_early_stopping else None
 
+    if t.profile_dir:
+        # capture a device trace of a handful of warm steps, then train
+        from stgcn_tpu.utils.profiling import trace
+
+        warm = trainer.init_state() if state is None else state
+        stream = train_stream(0)
+        x0, y0, _ = next(iter(stream))
+        import jax.numpy as jnp
+        warm, _ = trainer.train_step(warm, jnp.asarray(x0), jnp.asarray(y0))
+        with trace(t.profile_dir):
+            for _ in range(3):
+                warm, _ = trainer.train_step(warm, jnp.asarray(x0),
+                                             jnp.asarray(y0))
+        print(f"[profile] wrote device trace to {t.profile_dir}")
+        state = warm
+
     result = trainer.fit(
         state, train_stream, val_stream,
         epochs=t.epochs, min_epochs=t.min_epochs, start_epoch=start_epoch,
         early_stopping=early, eval_every_epochs=t.eval_every_epochs)
+
+    if result.history:
+        from stgcn_tpu.utils.profiling import ModelFlops
+
+        last = result.history[-1]
+        acct = ModelFlops.of(model, d.batch_size, d.fixed_len)
+        if last.get("epoch_time_s") and len(train_ds):
+            steps = max(1, (len(train_ds) + d.batch_size - 1) // d.batch_size)
+            step_time = last["epoch_time_s"] / steps
+            print(f"[perf] ~{step_time*1e3:.1f} ms/step, "
+                  f"{acct.edges_per_s(step_time):.3e} edges/s, "
+                  f"{acct.tflops_per_s(step_time):.2f} TFLOP/s")
 
     for h in result.history[-3:]:
         print("[epoch]", h)

@@ -70,6 +70,7 @@ class TrainSection:
     eval_every_epochs: int = 1
     seed: int = 0
     debug_nans: bool = False
+    profile_dir: str = ""  # write a jax.profiler device trace here
 
 
 @dataclasses.dataclass
