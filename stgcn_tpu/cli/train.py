@@ -71,10 +71,14 @@ def build_datasets(cfg: ExperimentConfig):
         train_idx, val_idx, test_idx = splitter.split_stratified(seed=d.seed)
 
     transforms = make_augmenter(compat=d.augment_compat) if d.augment_data else None
+    # with the native loader the C++ side reads files per batch; skip the
+    # python-side RAM preload
+    preload = not d.use_native_loader
     train_ds = SkeletonDataset(meta_file, data_dir, train_idx,
-                               transforms=transforms, seed=d.seed)
-    val_ds = SkeletonDataset(meta_file, data_dir, val_idx)
-    test_ds = SkeletonDataset(meta_file, data_dir, test_idx)
+                               transforms=transforms, seed=d.seed,
+                               preload=preload)
+    val_ds = SkeletonDataset(meta_file, data_dir, val_idx, preload=preload)
+    test_ds = SkeletonDataset(meta_file, data_dir, test_idx, preload=preload)
     return train_ds, val_ds, test_ds
 
 
@@ -104,13 +108,26 @@ def main(argv: list[str] | None = None) -> int:
     d = cfg.data
     collate_kwargs = dict(mode=d.collate_mode, fixed_len=d.fixed_len)
 
+    batch_fn = batches
+    if d.use_native_loader:
+        from stgcn_tpu.data import native_batches
+        from stgcn_tpu.data.native_loader import available, build
+
+        try:
+            build()
+        except Exception:  # noqa: BLE001 - toolchain may be absent
+            pass
+        if available():
+            batch_fn = native_batches
+            print("[data] using native C++ batch loader")
+
     def train_stream(epoch: int):
-        return batches(train_ds, d.batch_size, shuffle=True,
-                       seed=d.seed + epoch, drop_remainder=False,
-                       sort_by_length=d.sort_by_length, **collate_kwargs)
+        return batch_fn(train_ds, d.batch_size, shuffle=True,
+                        seed=d.seed + epoch, drop_remainder=False,
+                        sort_by_length=d.sort_by_length, **collate_kwargs)
 
     def val_stream():
-        return batches(val_ds, d.batch_size, **collate_kwargs)
+        return batch_fn(val_ds, d.batch_size, **collate_kwargs)
 
     t = cfg.train
     loggers = []
@@ -118,8 +135,11 @@ def main(argv: list[str] | None = None) -> int:
         loggers = [CsvLogger(t.log_dir), TensorBoardLogger(t.log_dir)]
     logger = MultiLogger(*loggers) if loggers else None
 
+    import jax as _jax
+    precision = (_jax.lax.Precision.HIGHEST
+                 if cfg.parallel.precision == "highest" else None)
     trainer = Trainer(
-        model, lr=t.lr, logger=logger,
+        model, lr=t.lr, precision=precision, logger=logger,
         checkpoint_dir=t.checkpoint_dir,
         checkpoint_every_epochs=t.checkpoint_every_epochs,
         log_every_steps=t.log_every_steps, seed=t.seed,

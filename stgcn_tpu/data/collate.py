@@ -127,3 +127,68 @@ def batches(
             continue
         batch = [dataset[int(i)] for i in chunk]
         yield collate(batch, mode=mode, buckets=buckets, fixed_len=fixed_len)
+
+
+def native_batches(
+    dataset,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_remainder: bool = False,
+    mode: str = "fixed",
+    buckets: Sequence[int] | None = None,
+    fixed_len: int | None = None,
+    sort_by_length: bool = False,
+    n_threads: int = 0,
+):
+    """Batch iterator backed by the C++ loader (native/npy_loader.cc).
+
+    Reads + channel-strips + wrap-pads whole batches in a native thread pool,
+    bypassing per-item ``__getitem__``.  Augmentation (when the dataset has
+    ``transforms``) is applied per-sequence *after* padding — equivalent to
+    the reference's pad-after-augment order because the transforms are affine
+    and wrap-padding replicates frames.
+    """
+    from stgcn_tpu.data.native_loader import collate_batch_native, npy_frames
+
+    lengths = np.asarray([npy_frames(p) for p in dataset.files])
+    order = np.arange(len(dataset))
+    rng = np.random.default_rng(seed)
+    if sort_by_length:
+        order = order[np.argsort(lengths, kind="stable")]
+        starts = np.arange(0, len(order), batch_size)
+        if shuffle:
+            rng.shuffle(starts)
+        chunks = [order[s:s + batch_size] for s in starts]
+    else:
+        if shuffle:
+            rng.shuffle(order)
+        chunks = [order[s:s + batch_size]
+                  for s in range(0, len(order), batch_size)]
+
+    keep_c = 3 if getattr(dataset, "keep_confidence", False) else 2
+    for chunk in chunks:
+        if drop_remainder and len(chunk) < batch_size:
+            continue
+        lens = lengths[chunk]
+        if mode == "max":
+            target = int(lens.max())
+        elif mode == "bucket":
+            target = bucket_length(int(lens.max()),
+                                   buckets or default_buckets())
+        elif mode == "fixed":
+            if fixed_len is None:
+                raise ValueError("fixed mode needs fixed_len")
+            target = fixed_len
+        else:
+            raise ValueError(f"unknown collate mode: {mode!r}")
+        paths = [dataset.files[int(i)] for i in chunk]
+        x = collate_batch_native(paths, target, keep_c=keep_c,
+                                 n_threads=n_threads)
+        if dataset.transforms is not None:
+            for j in range(x.shape[0]):
+                if dataset.rng.random() < dataset.augment_prob:
+                    x[j] = dataset.transforms(x[j], dataset.rng)
+        y = dataset.labels[chunk].astype(np.int64)
+        yield x, y, lens.astype(np.int32)

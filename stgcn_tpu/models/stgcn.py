@@ -56,7 +56,10 @@ class STGCNConfig:
     residual: bool = False
     final_softmax: bool = False  # True reproduces the inference-variant quirk Q4
     plan: tuple[tuple[int, int], ...] = DEFAULT_PLAN
-    dtype: Any = jnp.float32
+    dtype: Any = jnp.float32          # parameter / activation dtype
+    compute_dtype: Any = None         # matmul input dtype (e.g. bfloat16);
+                                      # None = same as activations
+    spatial_impl: str = "einsum"      # "einsum" (XLA) | "pallas" (fused)
 
 
 class STGCN:
@@ -137,7 +140,8 @@ class STGCN:
                 dropout_rate=cfg.dropout_rate, train=train,
                 dropout_rng=drop_keys[i], bn_axis_names=bn_axis_names,
                 precision=precision, constrain=constrain,
-                temporal_impl=temporal_impl,
+                temporal_impl=temporal_impl, compute_dtype=cfg.compute_dtype,
+                spatial_impl=cfg.spatial_impl,
             )
             new_blocks_s.append(s)
             if time_mask is not None and stride != 1:

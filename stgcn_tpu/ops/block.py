@@ -112,6 +112,8 @@ def block_forward(
     precision=None,
     constrain=None,
     temporal_impl: str = "conv",
+    compute_dtype=None,
+    spatial_impl: str = "einsum",
 ) -> tuple[jax.Array, dict]:
     """One ST-GCN unit on ``(N, T, V, C_in)`` -> ``(N, T', V, C_out)``.
 
@@ -124,19 +126,35 @@ def block_forward(
     new_state = dict(state)
     c = constrain if constrain is not None else (lambda h, tag: h)
 
+    if spatial_impl == "pallas":
+        from stgcn_tpu.kernels.spatial_conv import spatial_conv_fused
+
+        def apply_spatial(h):
+            w, b2, a2 = params["spatial"]["w"], params["spatial"]["b"], A
+            hh = h
+            if compute_dtype is not None:
+                hh = h.astype(compute_dtype)
+                w = w.astype(compute_dtype)
+                b2 = b2.astype(compute_dtype)
+                a2 = a2.astype(compute_dtype)
+            return spatial_conv_fused(hh, w, b2, a2).astype(h.dtype)
+    else:
+        def apply_spatial(h):
+            return spatial_conv(params["spatial"], A, h, precision=precision,
+                                compute_dtype=compute_dtype)
+
     if residual:
         res = x
         h, new_state["bn1"] = batchnorm(
             params["bn1"], state["bn1"], x, train=train, axis_names=bn_axis_names)
         h = jax.nn.relu(h)
-        h = c(spatial_conv(params["spatial"], A, h, precision=precision),
-              "spatial_out")
+        h = c(apply_spatial(h), "spatial_out")
         h, new_state["bn2"] = batchnorm(
             params["bn2"], state["bn2"], h, train=train, axis_names=bn_axis_names)
         h = jax.nn.relu(h)
         h = c(temporal_conv(params["temporal"], h, stride=stride,
-                            precision=precision, impl=temporal_impl),
-              "block_out")
+                            precision=precision, impl=temporal_impl,
+                            compute_dtype=compute_dtype), "block_out")
         if "residual_proj" in params:
             shortcut = pointwise_conv(params["residual_proj"], res, stride=stride,
                                       precision=precision)
@@ -146,11 +164,10 @@ def block_forward(
     else:
         h, new_state["bn1"] = batchnorm(
             params["bn1"], state["bn1"], x, train=train, axis_names=bn_axis_names)
-        h = c(spatial_conv(params["spatial"], A, h, precision=precision),
-              "spatial_out")
+        h = c(apply_spatial(h), "spatial_out")
         h = c(temporal_conv(params["temporal"], h, stride=stride,
-                            precision=precision, impl=temporal_impl),
-              "block_out")
+                            precision=precision, impl=temporal_impl,
+                            compute_dtype=compute_dtype), "block_out")
         out, new_state["bn2"] = batchnorm(
             params["bn2"], state["bn2"], h, train=train, axis_names=bn_axis_names)
 

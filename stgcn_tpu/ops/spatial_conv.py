@@ -58,6 +58,7 @@ def spatial_conv(
     x: jax.Array,
     *,
     precision=None,
+    compute_dtype=None,
 ) -> jax.Array:
     """Apply the partitioned graph convolution.
 
@@ -70,18 +71,26 @@ def spatial_conv(
     Returns:
       ``(N, T, V, C_out)`` aggregated features.
     """
+    out_dtype = x.dtype
+    acc = acc_dtype(x)
+    w = params["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     # Stage 1: per-joint channel expansion.  M = N*T*V rows on the MXU.
     y = jnp.einsum(
-        "ntwi,iko->ntwko", x, params["w"],
-        precision=precision, preferred_element_type=acc_dtype(x),
+        "ntwi,iko->ntwko", x, w,
+        precision=precision, preferred_element_type=acc,
     )
     y = y + params["b"]  # bias before aggregation, as the reference's conv does
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
     # Stage 2: neighborhood aggregation per partition, summed over partitions.
     out = jnp.einsum(
-        "kvw,ntwko->ntvo", adjacency, y,
-        precision=precision, preferred_element_type=acc_dtype(x),
+        "kvw,ntwko->ntvo", adjacency.astype(y.dtype), y,
+        precision=precision, preferred_element_type=acc,
     )
-    return out.astype(x.dtype)
+    return out.astype(out_dtype)
 
 
 def spatial_conv_flops(n: int, t: int, v: int, c_in: int, c_out: int, k: int) -> int:

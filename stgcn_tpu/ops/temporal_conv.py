@@ -44,6 +44,7 @@ def temporal_conv(
     padding: int | None = None,
     precision=None,
     impl: str = "conv",
+    compute_dtype=None,
 ) -> jax.Array:
     """Apply the (gamma x 1) temporal conv to ``(N, T, V, C)`` input.
 
@@ -64,25 +65,43 @@ def temporal_conv(
     gamma = params["w"].shape[0]
     if padding is None:
         padding = (gamma - 1) // 2
+    out_dtype = x.dtype
+    acc = acc_dtype(x)
     if impl == "shift_sum":
         return _temporal_conv_shift_sum(params, x, stride=stride,
-                                        padding=padding, precision=precision)
+                                        padding=padding, precision=precision,
+                                        compute_dtype=compute_dtype)
+    w = params["w"]
+    if compute_dtype is not None:
+        # the conv grad rule rejects mixed input/preferred dtypes, so run the
+        # conv wholly in the compute dtype — the TPU MXU still accumulates
+        # bf16 products in float32 internally
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        acc = None
+    else:
+        w = w.astype(x.dtype)
     out = lax.conv_general_dilated(
         x,
-        params["w"].astype(x.dtype),
+        w,
         window_strides=(stride, 1),
         padding=[(padding, padding), (0, 0)],
         dimension_numbers=DIMENSION_NUMBERS,
         precision=precision,
-        preferred_element_type=acc_dtype(x),
+        preferred_element_type=acc,
     )
-    return (out + params["b"]).astype(x.dtype)
+    return (out + params["b"]).astype(out_dtype)
 
 
 def _temporal_conv_shift_sum(params: dict, x: jax.Array, *, stride: int,
-                             padding: int, precision=None) -> jax.Array:
+                             padding: int, precision=None,
+                             compute_dtype=None) -> jax.Array:
     """Shift-and-matmul temporal conv: out_t = sum_g x[t*s + g - p] @ w[g]."""
+    out_dtype = x.dtype
     w = params["w"]  # (gamma, 1, C_in, C_out)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     gamma = w.shape[0]
     t = x.shape[1]
     t_out = (t + 2 * padding - gamma) // stride + 1
@@ -95,7 +114,7 @@ def _temporal_conv_shift_sum(params: dict, x: jax.Array, *, stride: int,
                           precision=precision,
                           preferred_element_type=acc_dtype(x))
         out = term if out is None else out + term
-    return (out + params["b"]).astype(x.dtype)
+    return (out + params["b"]).astype(out_dtype)
 
 
 def init_pointwise_conv(key: jax.Array, c_in: int, c_out: int, dtype=jnp.float32) -> dict:

@@ -50,6 +50,7 @@ class DataSection:
     fixed_len: int = 256
     batch_size: int = 16
     sort_by_length: bool = True
+    use_native_loader: bool = True    # C++ batch loader when built
     synthetic: bool = False           # generate synthetic data if paths empty
     seed: int = 0
 
@@ -185,6 +186,13 @@ def model_config_from(cfg: ExperimentConfig) -> "Any":
     adjacency_mode = m.adjacency_mode
     if not m.use_edge_importance and adjacency_mode == "mask":
         adjacency_mode = "fixed"
+    import jax.numpy as jnp
+
+    compute_dtype = None
+    if cfg.parallel.precision == "bfloat16":
+        compute_dtype = jnp.bfloat16
+    elif cfg.parallel.precision not in ("default", "highest"):
+        raise ValueError(f"unknown precision {cfg.parallel.precision!r}")
     return STGCNConfig(
         c_in=m.c_in,
         num_classes=m.num_classes,
@@ -198,4 +206,5 @@ def model_config_from(cfg: ExperimentConfig) -> "Any":
         residual=m.residual,
         final_softmax=m.final_softmax,
         plan=plan,
+        compute_dtype=compute_dtype,
     )

@@ -275,3 +275,57 @@ class TestOpenPoseIngestion:
         redo = videos_to_reprocess(str(tmp_path / "keypoints"),
                                    max_missing_run=30)
         assert redo == [stem]
+
+
+class TestNativeLoader:
+    @pytest.fixture(scope="class", autouse=True)
+    def built(self):
+        from stgcn_tpu.data import native_loader
+        try:
+            native_loader.build()
+        except Exception:
+            pytest.skip("no C++ toolchain")
+        if not native_loader.available():
+            pytest.skip("native lib unavailable")
+
+    def test_batch_parity_with_numpy_path(self, synth_dir):
+        from stgcn_tpu.data import native_batches
+        meta = os.path.join(synth_dir, "metadata.csv")
+        ds = SkeletonDataset(meta, synth_dir, preload=False)
+        for (xn, yn, ln), (xp, yp, lp) in zip(
+                native_batches(ds, 16, mode="fixed", fixed_len=64),
+                batches(ds, 16, mode="fixed", fixed_len=64)):
+            np.testing.assert_allclose(xn, xp, rtol=1e-6)
+            np.testing.assert_array_equal(yn, yp)
+            np.testing.assert_array_equal(ln, lp)
+
+    def test_npy_frames(self, synth_dir):
+        from stgcn_tpu.data.native_loader import npy_frames
+        meta = os.path.join(synth_dir, "metadata.csv")
+        ds = SkeletonDataset(meta, synth_dir, preload=False)
+        for i in range(3):
+            assert npy_frames(ds.files[i]) == ds.raw(i).shape[0]
+
+    def test_float64_files(self, tmp_path):
+        from stgcn_tpu.data.native_loader import collate_batch_native
+        from stgcn_tpu.data.collate import wrap_pad
+        rng = np.random.default_rng(0)
+        arr = rng.standard_normal((33, 25, 3))  # float64
+        p = str(tmp_path / "d.npy")
+        np.save(p, arr)
+        out = collate_batch_native([p], 64)
+        want = wrap_pad(arr.astype(np.float32)[:, :, :2], 64)
+        np.testing.assert_allclose(out[0], want, rtol=1e-6)
+
+    def test_missing_file_error(self, tmp_path):
+        from stgcn_tpu.data.native_loader import collate_batch_native
+        with pytest.raises(IOError):
+            collate_batch_native([str(tmp_path / "nope.npy")], 32)
+
+    def test_bucket_mode(self, synth_dir):
+        from stgcn_tpu.data import native_batches
+        meta = os.path.join(synth_dir, "metadata.csv")
+        ds = SkeletonDataset(meta, synth_dir, preload=False)
+        for x, y, lens in native_batches(ds, 8, mode="bucket",
+                                         sort_by_length=True):
+            assert x.shape[1] >= lens.max()

@@ -1,0 +1,86 @@
+"""Pallas kernel tests (interpreter mode on CPU; real-TPU runs are covered
+by the benchmark)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stgcn_tpu.graph.adjacency import Strategy, get_normalized_adjacency
+from stgcn_tpu.kernels.spatial_conv import spatial_conv_fused
+from stgcn_tpu.ops.spatial_conv import init_spatial_conv, spatial_conv
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    N, T, V, Cin, Cout = 2, 16, 25, 64, 128
+    A = jnp.asarray(get_normalized_adjacency(Strategy.DISTANCE, d=2))
+    K = A.shape[0]
+    p = init_spatial_conv(jax.random.key(0), Cin, Cout, K)
+    x = jnp.asarray(rng.standard_normal((N, T, V, Cin)), jnp.float32)
+    return p, A, x
+
+
+class TestFusedSpatialConv:
+    def test_forward_matches_einsum(self, setup):
+        p, A, x = setup
+        want = spatial_conv(p, A, x)
+        got = spatial_conv_fused(x, p["w"], p["b"], A, None, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match_einsum(self, setup):
+        p, A, x = setup
+
+        def loss_ref(w, b, a, x):
+            return jnp.sum(spatial_conv({"w": w, "b": b}, a, x) ** 2)
+
+        def loss_fused(w, b, a, x):
+            return jnp.sum(spatial_conv_fused(x, w, b, a, None, True) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(p["w"], p["b"], A, x)
+        g_fus = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(p["w"], p["b"], A, x)
+        for name, a_, b_ in zip(("dw", "db", "dA", "dx"), g_ref, g_fus):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-3, err_msg=name)
+
+    def test_odd_row_count_falls_back_to_tile_1(self, setup):
+        p, A, _ = setup
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 7, 25, 64)), jnp.float32)
+        want = spatial_conv(p, A, x)
+        got = spatial_conv_fused(x, p["w"], p["b"], A, None, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_uni_labeling_k1(self):
+        rng = np.random.default_rng(2)
+        A = jnp.asarray(get_normalized_adjacency(Strategy.UNI_LABELING))
+        p = init_spatial_conv(jax.random.key(1), 2, 8, 1)
+        x = jnp.asarray(rng.standard_normal((2, 8, 25, 2)), jnp.float32)
+        want = spatial_conv(p, A, x)
+        got = spatial_conv_fused(x, p["w"], p["b"], A, None, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_model_level_pallas_impl(self):
+        """STGCNConfig(spatial_impl='pallas') end to end (interpret mode)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+
+        m_ein = STGCN(STGCNConfig(plan=((8, 1), (16, 2)),
+                                  strategy=Strategy.DISTANCE))
+        m_pal = STGCN(STGCNConfig(plan=((8, 1), (16, 2)),
+                                  strategy=Strategy.DISTANCE,
+                                  spatial_impl="pallas"))
+        params, state = m_ein.init(jax.random.key(0))
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 16, 25, 2)), jnp.float32)
+        a, _ = m_ein.apply(params, state, x, train=False)
+        with pltpu.force_tpu_interpret_mode():
+            b, _ = m_pal.apply(params, state, x, train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

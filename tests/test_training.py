@@ -231,3 +231,36 @@ class TestCLI:
         assert latest_checkpoint(str(tmp_path / "ckpt")) is not None
         assert os.path.exists(tmp_path / "logs" / "train_loss.csv")
         tempfile.tempdir = None
+
+
+class TestBF16:
+    def test_bf16_compute_learns(self, rng):
+        """Mixed-precision (bf16 matmuls, f32 params/master) training works
+        and reduces the loss like f32 does."""
+        import jax.numpy as jnp
+
+        model = tiny_model(compute_dtype=jnp.bfloat16)
+        opt = optax.adam(1e-2)
+        ts = create_train_state(model, opt, seed=0)
+        x, y = random_batch(rng, 16, 32)
+        step = make_train_step(model, opt)
+        losses = []
+        for _ in range(10):
+            ts, m = step(ts, jnp.asarray(x), jnp.asarray(y))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        # params stay float32 (mixed precision keeps an f32 master copy)
+        assert ts.params["blocks"][0]["spatial"]["w"].dtype == jnp.float32
+
+    def test_bf16_forward_close_to_f32(self, rng):
+        import jax.numpy as jnp
+
+        m32 = tiny_model()
+        m16 = tiny_model(compute_dtype=jnp.bfloat16)
+        params, state = m32.init(jax.random.key(0))
+        x, _ = random_batch(rng, 8, 32)
+        a, _ = m32.apply(params, state, jnp.asarray(x), train=False)
+        b, _ = m16.apply(params, state, jnp.asarray(x), train=False)
+        # logits agree to bf16 resolution
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.1, atol=0.15)
