@@ -138,8 +138,19 @@ def main(argv: list[str] | None = None) -> int:
     import jax as _jax
     precision = (_jax.lax.Precision.HIGHEST
                  if cfg.parallel.precision == "highest" else None)
+    mesh = None
+    p = cfg.parallel
+    if p.data_axis * p.time_axis * p.model_axis > 1:
+        from stgcn_tpu.parallel import make_mesh
+        from stgcn_tpu.parallel.launcher import initialize_distributed
+
+        info = initialize_distributed()
+        print(f"[dist] {info}")
+        mesh = make_mesh(p.data_axis, p.time_axis, p.model_axis)
+        print(f"[dist] mesh data={p.data_axis} time={p.time_axis} "
+              f"model={p.model_axis}")
     trainer = Trainer(
-        model, lr=t.lr, precision=precision, logger=logger,
+        model, lr=t.lr, precision=precision, logger=logger, mesh=mesh,
         checkpoint_dir=t.checkpoint_dir,
         checkpoint_every_epochs=t.checkpoint_every_epochs,
         log_every_steps=t.log_every_steps, seed=t.seed,

@@ -14,3 +14,4 @@ from stgcn_tpu.parallel.train import (
     make_sharded_train_step,
     shard_batch,
 )
+from stgcn_tpu.parallel.launcher import heartbeat, initialize_distributed, is_primary

@@ -132,6 +132,7 @@ class Trainer:
         log_every_steps: int = 10,
         seed: int = 0,
         debug_nans: bool = False,
+        mesh=None,
     ):
         self.model = model
         self.optimizer = optimizer or optax.adam(lr)
@@ -142,13 +143,45 @@ class Trainer:
         self.log_every_steps = log_every_steps
         self.seed = seed
         self.debug_nans = debug_nans
-        self.train_step = make_train_step(model, self.optimizer,
-                                          precision=precision)
-        self.eval_step = make_eval_step(model, precision=precision)
+        self.mesh = mesh
+        self._shardings = None
+        if mesh is None:
+            self.train_step = make_train_step(model, self.optimizer,
+                                              precision=precision)
+            self.eval_step = make_eval_step(model, precision=precision)
+        else:
+            # steps are built lazily in init_state once shardings exist
+            self.train_step = None
+            self.eval_step = None
 
     # -- state ------------------------------------------------------------
     def init_state(self) -> TrainState:
-        return create_train_state(self.model, self.optimizer, seed=self.seed)
+        if self.mesh is None:
+            return create_train_state(self.model, self.optimizer,
+                                      seed=self.seed)
+        from stgcn_tpu.parallel.train import (
+            create_sharded_train_state,
+            make_sharded_eval_step,
+            make_sharded_train_step,
+        )
+
+        state, shardings = create_sharded_train_state(
+            self.model, self.optimizer, self.mesh, seed=self.seed)
+        if self.train_step is None:
+            self._shardings = shardings
+            self.train_step = make_sharded_train_step(
+                self.model, self.optimizer, self.mesh, shardings,
+                precision=self.precision)
+            self.eval_step = make_sharded_eval_step(
+                self.model, self.mesh, shardings, precision=self.precision)
+        return state
+
+    def _put_batch(self, x, y):
+        if self.mesh is None:
+            return jnp.asarray(x), jnp.asarray(y)
+        from stgcn_tpu.parallel.train import shard_batch
+
+        return shard_batch(np.asarray(x), np.asarray(y), self.mesh)
 
     def maybe_resume(self, state: TrainState) -> tuple[TrainState, int]:
         """Restore the newest checkpoint if one exists; returns (state, epoch)."""
@@ -156,6 +189,11 @@ class Trainer:
         if base is None:
             return state, 0
         restored = restore_checkpoint(base, state)
+        if self.mesh is not None and self._shardings is not None:
+            # re-place host arrays according to the mesh layout
+            restored = jax.tree.map(
+                lambda x, s: jax.device_put(x, s), restored, self._shardings,
+                is_leaf=lambda x: not isinstance(x, (dict, list, tuple)))
         from stgcn_tpu.training.checkpoint import checkpoint_metadata
         meta = checkpoint_metadata(base)
         return restored, int(meta.get("epoch", 0))
@@ -165,7 +203,7 @@ class Trainer:
         total = {"loss_sum": 0.0, "correct": 0, "count": 0}
         cm = None
         for x, y, _lens in data:
-            out = self.eval_step(state, jnp.asarray(x), jnp.asarray(y))
+            out = self.eval_step(state, *self._put_batch(x, y))
             out = jax.tree.map(np.asarray, out)
             total["loss_sum"] += float(out["loss_sum"])
             total["correct"] += int(out["correct"])
@@ -206,8 +244,7 @@ class Trainer:
                 t0 = time.time()
                 losses, accs = [], []
                 for x, y, _lens in train_data(epoch):
-                    state, m = self.train_step(state, jnp.asarray(x),
-                                               jnp.asarray(y))
+                    state, m = self.train_step(state, *self._put_batch(x, y))
                     step_i = int(state.step)
                     loss = float(m["loss"])
                     losses.append(loss)

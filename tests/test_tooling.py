@@ -198,3 +198,72 @@ class TestFaultRecovery:
         result = trainer.fit(state2, stream, epochs=3, start_epoch=epoch)
         assert result.epochs_run == 3
         assert int(jax.device_get(result.final_state.step)) == 6
+
+
+class TestPreprocessCLI:
+    def test_synthetic_and_distances_and_render(self, tmp_path):
+        from stgcn_tpu.cli.preprocess import main as pp
+
+        out = tmp_path / "synth"
+        assert pp(["synthetic", "--out", str(out), "--subjects", "2"]) == 0
+        assert (out / "metadata.csv").exists()
+
+        dist = tmp_path / "d.npy"
+        assert pp(["distances", "--data", str(out), "--out", str(dist)]) == 0
+        assert np.load(dist).shape == (25,)
+
+        import pandas as pd
+        meta = pd.read_csv(out / "metadata.csv")
+        seq_path = out / meta.loc[0, "filename"]
+        vid = tmp_path / "vid.mp4"
+        assert pp(["render", "--npy", str(seq_path), "--out", str(vid),
+                   "--max-frames", "4"]) == 0
+        # mp4 (ffmpeg), gif fallback, or frame dir — something was written
+        assert (vid.exists() or (tmp_path / "vid.gif").exists()
+                or (tmp_path / "vid_frames").exists())
+
+
+class TestLauncher:
+    def test_single_process_noop(self):
+        from stgcn_tpu.parallel.launcher import (
+            heartbeat,
+            initialize_distributed,
+            is_primary,
+        )
+
+        info = initialize_distributed()
+        assert info["process_count"] == 1
+        assert is_primary()
+        assert heartbeat(timeout_s=5)
+
+
+class TestMeshTrainer:
+    def test_trainer_with_mesh_resume(self, tmp_path):
+        import jax as j
+        if len(j.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        import numpy as np
+
+        from stgcn_tpu.data.synthetic import random_batch
+        from stgcn_tpu.graph.adjacency import Strategy
+        from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+        from stgcn_tpu.parallel import make_mesh
+        from stgcn_tpu.training.loop import Trainer
+
+        model = STGCN(STGCNConfig(plan=((8, 1), (16, 2)),
+                                  strategy=Strategy.DISTANCE))
+        trainer = Trainer(model, lr=1e-3, mesh=make_mesh(2, 2, 2),
+                          checkpoint_dir=str(tmp_path),
+                          checkpoint_every_epochs=1)
+        x, y = random_batch(np.random.default_rng(0), 8, 32)
+
+        def stream(e):
+            yield x, y, None
+
+        state = trainer.init_state()
+        r = trainer.fit(state, stream, epochs=2)
+        state2, epoch = trainer.maybe_resume(trainer.init_state())
+        assert epoch == 2
+        assert int(j.device_get(state2.step)) == 2
+        r2 = trainer.fit(state2, stream, epochs=3, start_epoch=epoch)
+        assert int(j.device_get(r2.final_state.step)) == 3
