@@ -71,8 +71,9 @@ def import_state_dict(
                 "scale": sd[pre + "batch_n_2.weight"].copy(),
                 "offset": sd[pre + "batch_n_2.bias"].copy(),
             },
-            "A": sd[pre + "spatialConv.A"].copy(),
         }
+        if (pre + "spatialConv.A") in sd:
+            p["A"] = sd[pre + "spatialConv.A"].copy()
         if residual and (pre + "apply_residual.weight") in sd:
             rw = sd[pre + "apply_residual.weight"]  # (C_out, C_in, 1, 1)
             p["residual_proj"] = {
@@ -102,8 +103,16 @@ def import_state_dict(
     return params, {"blocks": blocks_s}
 
 
-def export_state_dict(params: dict, state: dict, *, residual: bool = False) -> dict:
-    """Inverse mapping: our pytrees -> reference-named numpy state_dict."""
+def export_state_dict(params: dict, state: dict, *, residual: bool = False,
+                      adjacency: np.ndarray | None = None) -> dict:
+    """Inverse mapping: our pytrees -> reference-named numpy state_dict.
+
+    ``adjacency``: the model's constant normalized adjacency, used to emit
+    the per-layer ``spatialConv.A`` tensors the reference format requires
+    when our params hold a mask (``A ⊙ M_l``) or no graph weights at all
+    (fixed mode).  Dead ``Masks.{i}`` entries are emitted as ones for full
+    reference-format compatibility.
+    """
     out: dict[str, np.ndarray] = {}
     blocks_p = params["blocks"]
     blocks_s = state["blocks"]
@@ -127,7 +136,16 @@ def export_state_dict(params: dict, state: dict, *, residual: bool = False) -> d
         out[pre + "batch_n_2.running_mean"] = _np(s["bn2"]["mean"])
         out[pre + "batch_n_2.running_var"] = _np(s["bn2"]["var"])
         if "A" in p:
-            out[pre + "spatialConv.A"] = _np(p["A"])
+            a_eff = _np(p["A"])
+        elif adjacency is not None and "mask" in p:
+            a_eff = np.asarray(adjacency) * _np(p["mask"])
+        elif adjacency is not None:
+            a_eff = np.asarray(adjacency)
+        else:
+            a_eff = None
+        if a_eff is not None:
+            out[pre + "spatialConv.A"] = a_eff
+            out[f"Masks.{i}"] = np.ones_like(a_eff)
         if residual and "residual_proj" in p:
             out[pre + "apply_residual.weight"] = (
                 _np(p["residual_proj"]["w"]).T[:, :, None, None])

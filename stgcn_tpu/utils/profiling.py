@@ -73,6 +73,26 @@ class ModelFlops:
         return self.fwd_flops / step_time_s / 1e12
 
 
+def dump_computation(fn, args, path_base: str) -> tuple[str, str]:
+    """Write the jaxpr and optimized-HLO text of ``fn(*args)``.
+
+    Counterpart of the reference's torchviz autograd-graph rendering
+    (src/utils/model_utils.py:4-8): the inspectable computation graph.
+    Returns the two file paths written.
+    """
+    jaxpr_path = path_base + ".jaxpr.txt"
+    hlo_path = path_base + ".hlo.txt"
+    with open(jaxpr_path, "w") as f:
+        f.write(str(jax.make_jaxpr(fn)(*args)))
+    lowered = jax.jit(fn).lower(*args)
+    with open(hlo_path, "w") as f:
+        try:
+            f.write(lowered.compile().as_text())
+        except Exception:  # compile may be unavailable; keep the StableHLO
+            f.write(lowered.as_text())
+    return jaxpr_path, hlo_path
+
+
 def param_table(params) -> str:
     """Human-readable parameter listing (counterpart of
     get_trainanble_parameters, src/utils/model_utils.py:10-13)."""

@@ -267,3 +267,79 @@ class TestMeshTrainer:
         assert int(j.device_get(state2.step)) == 2
         r2 = trainer.fit(state2, stream, epochs=3, start_epoch=epoch)
         assert int(j.device_get(r2.final_state.step)) == 3
+
+
+class TestExportCLI:
+    def test_roundtrip_export_import(self, synth_env, tmp_path):
+        root, data_dir = synth_env
+        from stgcn_tpu.training.checkpoint import latest_checkpoint
+        from stgcn_tpu.cli.export import main as export_main
+
+        ckpt = latest_checkpoint(str(root / "ckpt"))
+        out = tmp_path / "model.npz"
+        rc = export_main(["--checkpoint", ckpt, "--out", str(out)])
+        assert rc == 0
+        sd = dict(np.load(out))
+        assert "conv.0.spatialConv.W.weight" in sd
+        assert sd["fc_layer.weight"].shape == (6, 256)
+        # round trip through the importer reproduces the params
+        from stgcn_tpu.models.importer import import_state_dict
+        params, _ = import_state_dict(sd, num_blocks=10, num_partitions=1)
+        assert params["blocks"][0]["spatial"]["w"].shape[1] == 1  # K
+
+    def test_export_pt_loads_in_torch(self, synth_env, tmp_path):
+        torch = pytest.importorskip("torch")
+        root, _ = synth_env
+        from stgcn_tpu.training.checkpoint import latest_checkpoint
+        from stgcn_tpu.cli.export import main as export_main
+
+        ckpt = latest_checkpoint(str(root / "ckpt"))
+        out = tmp_path / "model.pt"
+        assert export_main(["--checkpoint", ckpt, "--out", str(out)]) == 0
+        sd = torch.load(out, weights_only=True)
+        assert sd["conv.0.batch_n.weight"].shape == (2,)
+
+
+class TestComputationDump:
+    def test_dump_jaxpr_hlo(self, tmp_path):
+        import jax.numpy as jnp
+
+        from stgcn_tpu.utils.profiling import dump_computation
+
+        def f(x):
+            return jnp.sum(x * 2.0)
+
+        jp, hp = dump_computation(f, (jnp.ones((4, 4)),),
+                                  str(tmp_path / "graph"))
+        assert os.path.getsize(jp) > 0 and os.path.getsize(hp) > 0
+
+
+class TestConfidenceChannel:
+    def test_c_in_3_trains(self, rng):
+        """The reference hard-exits on confidence scores
+        (datasets.py:157-159); we train with C_in=3 natively."""
+        import jax.numpy as jnp
+        import optax
+
+        from stgcn_tpu.data.synthetic import synth_sequence
+        from stgcn_tpu.graph.adjacency import Strategy
+        from stgcn_tpu.graph.skeleton import KTH_LABELS
+        from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+        from stgcn_tpu.training.loop import make_train_step
+        from stgcn_tpu.training.train_state import create_train_state
+
+        model = STGCN(STGCNConfig(c_in=3, plan=((8, 1), (16, 2)),
+                                  strategy=Strategy.DISTANCE))
+        xs, ys = [], []
+        actions = list(KTH_LABELS)
+        for i in range(8):
+            a = actions[i % 6]
+            xs.append(synth_sequence(a, rng, (32, 33)))  # keeps conf channel
+            ys.append(KTH_LABELS[a])
+        x = jnp.asarray(np.stack(xs))
+        y = jnp.asarray(np.asarray(ys))
+        opt = optax.adam(1e-3)
+        ts = create_train_state(model, opt)
+        step = make_train_step(model, opt)
+        ts, m = step(ts, x, y)
+        assert np.isfinite(float(m["loss"]))
