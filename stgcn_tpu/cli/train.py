@@ -149,8 +149,11 @@ def main(argv: list[str] | None = None) -> int:
         mesh = make_mesh(p.data_axis, p.time_axis, p.model_axis)
         print(f"[dist] mesh data={p.data_axis} time={p.time_axis} "
               f"model={p.model_axis}")
+    from stgcn_tpu.training.optimizers import make_optimizer
+
     trainer = Trainer(
-        model, lr=t.lr, precision=precision, logger=logger, mesh=mesh,
+        model, optimizer=make_optimizer(t),
+        lr=t.lr, precision=precision, logger=logger, mesh=mesh,
         checkpoint_dir=t.checkpoint_dir,
         checkpoint_every_epochs=t.checkpoint_every_epochs,
         log_every_steps=t.log_every_steps, seed=t.seed,

@@ -133,6 +133,11 @@ class STGCN:
 
         new_blocks_s = []
         h = x
+        if time_mask is not None:
+            # Masked semantics: padded frames are zeros and stay zeros after
+            # every block, so the output is independent of whatever the
+            # padding contained; the pool then averages valid frames only.
+            h = h * time_mask[:, :, None, None].astype(h.dtype)
         for i, (c_out, stride) in enumerate(cfg.plan):
             h, s = block_forward(
                 params["blocks"][i], state["blocks"][i], h, self.adjacency,
@@ -144,8 +149,10 @@ class STGCN:
                 spatial_impl=cfg.spatial_impl,
             )
             new_blocks_s.append(s)
-            if time_mask is not None and stride != 1:
-                time_mask = time_mask[:, ::stride]
+            if time_mask is not None:
+                if stride != 1:
+                    time_mask = time_mask[:, ::stride]
+                h = h * time_mask[:, :, None, None].astype(h.dtype)
 
         pooled = global_avg_pool(h, time_mask)  # (N, C)
         logits = linear(params["fc"], pooled, precision=precision)

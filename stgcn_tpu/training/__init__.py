@@ -7,3 +7,4 @@ from stgcn_tpu.training.config import ExperimentConfig, model_config_from, parse
 from stgcn_tpu.training.loop import EarlyStopping, Trainer, make_eval_step, make_train_step
 from stgcn_tpu.training.metrics import accuracy, confusion_matrix, cross_entropy
 from stgcn_tpu.training.train_state import TrainState, create_train_state
+from stgcn_tpu.training.optimizers import make_optimizer, make_schedule

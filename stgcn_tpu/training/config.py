@@ -58,6 +58,14 @@ class DataSection:
 @dataclasses.dataclass
 class TrainSection:
     lr: float = 1e-4
+    optimizer: str = "adam"           # adam | adamw | sgd | momentum
+    weight_decay: float = 0.0         # adamw only
+    momentum: float = 0.9             # sgd/momentum only
+    grad_clip_norm: float = 0.0       # 0 = off
+    lr_schedule: str = "constant"     # constant | cosine | step
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 10000       # cosine horizon / step interval
+    lr_step_factor: float = 0.1       # step schedule decay factor
     epochs: int = 50
     min_epochs: int = 0
     use_early_stopping: bool = False

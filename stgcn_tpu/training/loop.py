@@ -34,15 +34,19 @@ from stgcn_tpu.training.train_state import TrainState, create_train_state
 
 def make_train_step(model, optimizer: optax.GradientTransformation,
                     *, precision=None, bn_axis_names=None,
-                    donate: bool = True) -> Callable:
-    """Build the fused jitted train step: (state, x, y) -> (state, metrics)."""
+                    donate: bool = True, use_time_mask: bool = False) -> Callable:
+    """Build the fused jitted train step: (state, x, y[, mask]) ->
+    (state, metrics).  With ``use_time_mask`` the step takes an ``(N, T)``
+    validity mask and the global pool ignores padded frames."""
 
-    def step(ts: TrainState, x: jax.Array, y: jax.Array):
+    def step(ts: TrainState, x: jax.Array, y: jax.Array,
+             time_mask: jax.Array | None = None):
         step_rng = jax.random.fold_in(ts.rng, ts.step)
 
         def loss_fn(params):
             logits, new_mstate = model.apply(
                 params, ts.model_state, x, train=True, rng=step_rng,
+                time_mask=time_mask if use_time_mask else None,
                 bn_axis_names=bn_axis_names, precision=precision)
             loss = M.cross_entropy(logits, y)
             return loss, (logits, new_mstate)
