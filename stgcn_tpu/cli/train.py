@@ -147,13 +147,17 @@ def main(argv: list[str] | None = None) -> int:
         info = initialize_distributed()
         print(f"[dist] {info}")
         mesh = make_mesh(p.data_axis, p.time_axis, p.model_axis)
+        if p.shard_joints:
+            from stgcn_tpu.parallel.mesh import validate_joint_sharding
+            validate_joint_sharding(model.num_joints, p.model_axis)
         print(f"[dist] mesh data={p.data_axis} time={p.time_axis} "
-              f"model={p.model_axis}")
+              f"model={p.model_axis} shard_joints={p.shard_joints}")
     from stgcn_tpu.training.optimizers import make_optimizer
 
     trainer = Trainer(
         model, optimizer=make_optimizer(t),
         lr=t.lr, precision=precision, logger=logger, mesh=mesh,
+        shard_joints=p.shard_joints,
         checkpoint_dir=t.checkpoint_dir,
         checkpoint_every_epochs=t.checkpoint_every_epochs,
         log_every_steps=t.log_every_steps, seed=t.seed,

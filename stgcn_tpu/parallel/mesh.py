@@ -42,13 +42,25 @@ def make_mesh(data: int = 1, time: int = 1, model: int = 1,
     return Mesh(dev, AXES)
 
 
-def batch_spec() -> P:
-    """Input batch ``(N, T, V, C)``: N over data, T over time."""
+def batch_spec(shard_joints: bool = False) -> P:
+    """Input batch ``(N, T, V, C)``: N over data, T over time; with
+    ``shard_joints`` the joint axis V is sharded over ``model`` instead of
+    the channels (edge-partitioned graph sharding — the spatial conv's
+    contraction over neighbor joints becomes the boundary-feature exchange,
+    which XLA emits as collectives on the ``model`` axis)."""
+    if shard_joints:
+        return P(AXIS_DATA, AXIS_TIME, AXIS_MODEL, None)
     return P(AXIS_DATA, AXIS_TIME, None, None)
 
 
 def label_spec() -> P:
     return P(AXIS_DATA)
+
+
+def replicated_param_specs(params) -> dict:
+    """All-replicated param specs (used by joint-sharded mode, where the
+    parallelism lives in the activations, not the weights)."""
+    return jax.tree.map(lambda _: P(), params)
 
 
 def param_partition_specs(params) -> dict:
@@ -91,20 +103,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def activation_constrainer(mesh: Mesh):
+def activation_constrainer(mesh: Mesh, shard_joints: bool = False):
     """Sharding-constraint hook for the model forward.
 
-    Pins the Megatron pattern explicitly — spatial-conv output channel-sharded
-    over ``model``, block output replicated over ``model`` — because GSPMD's
+    Channel mode pins the Megatron pattern explicitly — spatial-conv output
+    channel-sharded over ``model``, block output replicated — because GSPMD's
     propagation is ambiguous when time-axis (window) sharding and model-axis
     (contraction) sharding combine in the temporal conv, which otherwise
     double-counts gradients of upstream replicated params (observed: exactly
     2x on bn gradients for time>1 x model>1 meshes).
+
+    Joint mode keeps activations sharded over V throughout: the spatial
+    conv's neighbor contraction psums partial aggregates and the constraint
+    turns that into a reduce-scatter back to the V layout (the
+    boundary-joint exchange of the edge-partitioned formulation); the
+    temporal conv and BN are joint-local.
     """
-    tag_specs = {
-        "spatial_out": P(AXIS_DATA, AXIS_TIME, None, AXIS_MODEL),
-        "block_out": P(AXIS_DATA, AXIS_TIME, None, None),
-    }
+    if shard_joints:
+        tag_specs = {
+            "spatial_out": P(AXIS_DATA, AXIS_TIME, AXIS_MODEL, None),
+            "block_out": P(AXIS_DATA, AXIS_TIME, AXIS_MODEL, None),
+        }
+    else:
+        tag_specs = {
+            "spatial_out": P(AXIS_DATA, AXIS_TIME, None, AXIS_MODEL),
+            "block_out": P(AXIS_DATA, AXIS_TIME, None, None),
+        }
 
     def constrain(x, tag: str):
         spec = tag_specs.get(tag)
@@ -113,6 +137,15 @@ def activation_constrainer(mesh: Mesh):
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
     return constrain
+
+
+def validate_joint_sharding(v: int, model_axis: int) -> None:
+    """Joint (graph) sharding requires the model axis to divide V exactly
+    (for V=25: 1, 5 or 25)."""
+    if model_axis > 1 and v % model_axis:
+        raise ValueError(
+            f"V={v} joints not divisible by model axis {model_axis}; "
+            f"joint sharding needs an axis size dividing V")
 
 
 def validate_time_sharding(t: int, time_axis: int, total_stride: int = 4,

@@ -32,14 +32,18 @@ from stgcn_tpu.training import metrics as M
 from stgcn_tpu.training.train_state import TrainState, create_train_state
 
 
-def _state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+def _state_shardings(state: TrainState, mesh: Mesh,
+                     shard_joints: bool = False) -> TrainState:
     """NamedSharding pytree mirroring a TrainState.
 
-    Params follow the TP layout; Adam's mu/nu mirror their param's spec
-    (they are params-shaped subtrees, so the same spec-derivation applies);
-    BN state, step and rng are replicated.
+    Params follow the TP layout (or stay replicated in joint-sharded mode);
+    Adam's mu/nu mirror their param's spec (they are params-shaped subtrees,
+    so the same spec-derivation applies); BN state, step and rng are
+    replicated.
     """
-    param_specs = mesh_lib.param_partition_specs(state.params)
+    spec_fn = (mesh_lib.replicated_param_specs if shard_joints
+               else mesh_lib.param_partition_specs)
+    param_specs = spec_fn(state.params)
     param_sh = mesh_lib.shardings_for(param_specs, mesh)
     rep = mesh_lib.replicated(mesh)
 
@@ -49,10 +53,8 @@ def _state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
             if hasattr(entry, "mu") and hasattr(entry, "nu"):
                 return entry.__class__(
                     count=rep,
-                    mu=mesh_lib.shardings_for(
-                        mesh_lib.param_partition_specs(entry.mu), mesh),
-                    nu=mesh_lib.shardings_for(
-                        mesh_lib.param_partition_specs(entry.nu), mesh),
+                    mu=mesh_lib.shardings_for(spec_fn(entry.mu), mesh),
+                    nu=mesh_lib.shardings_for(spec_fn(entry.nu), mesh),
                 )
             return jax.tree.map(lambda _: rep, entry)
 
@@ -71,14 +73,14 @@ def _state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
 
 def create_sharded_train_state(
     model, optimizer: optax.GradientTransformation, mesh: Mesh,
-    seed: int = 0,
+    seed: int = 0, shard_joints: bool = False,
 ) -> tuple[TrainState, TrainState]:
     """Initialize a TrainState already placed according to the mesh layout.
 
     Returns ``(state, shardings)``.
     """
     state = create_train_state(model, optimizer, seed=seed)
-    shardings = _state_shardings(state, mesh)
+    shardings = _state_shardings(state, mesh, shard_joints)
     state = jax.tree.map(
         lambda x, s: jax.device_put(x, s), state, shardings,
         is_leaf=lambda x: isinstance(x, jax.Array))
@@ -88,12 +90,13 @@ def create_sharded_train_state(
 def make_sharded_train_step(
     model, optimizer: optax.GradientTransformation, mesh: Mesh,
     shardings: TrainState, *, precision=None, donate: bool = True,
+    shard_joints: bool = False,
 ) -> Callable:
     """Sharded (state, x, y) -> (state, metrics) step."""
-    x_sh = NamedSharding(mesh, mesh_lib.batch_spec())
+    x_sh = NamedSharding(mesh, mesh_lib.batch_spec(shard_joints))
     y_sh = NamedSharding(mesh, mesh_lib.label_spec())
     rep = mesh_lib.replicated(mesh)
-    constrain = mesh_lib.activation_constrainer(mesh)
+    constrain = mesh_lib.activation_constrainer(mesh, shard_joints)
 
     def step(ts: TrainState, x: jax.Array, y: jax.Array):
         step_rng = jax.random.fold_in(ts.rng, ts.step)
@@ -124,12 +127,13 @@ def make_sharded_train_step(
 
 
 def make_sharded_eval_step(model, mesh: Mesh, shardings: TrainState,
-                           *, precision=None) -> Callable:
-    x_sh = NamedSharding(mesh, mesh_lib.batch_spec())
+                           *, precision=None,
+                           shard_joints: bool = False) -> Callable:
+    x_sh = NamedSharding(mesh, mesh_lib.batch_spec(shard_joints))
     y_sh = NamedSharding(mesh, mesh_lib.label_spec())
     rep = mesh_lib.replicated(mesh)
     num_classes = model.config.num_classes
-    constrain = mesh_lib.activation_constrainer(mesh)
+    constrain = mesh_lib.activation_constrainer(mesh, shard_joints)
 
     def step(ts: TrainState, x: jax.Array, y: jax.Array):
         logits, _ = model.apply(ts.params, ts.model_state, x, train=False,
@@ -150,9 +154,9 @@ def make_sharded_eval_step(model, mesh: Mesh, shardings: TrainState,
                    out_shardings=out_sh)
 
 
-def shard_batch(x, y, mesh: Mesh):
+def shard_batch(x, y, mesh: Mesh, shard_joints: bool = False):
     """Place a host batch onto the mesh with the canonical batch sharding."""
     return (
-        jax.device_put(x, NamedSharding(mesh, mesh_lib.batch_spec())),
+        jax.device_put(x, NamedSharding(mesh, mesh_lib.batch_spec(shard_joints))),
         jax.device_put(y, NamedSharding(mesh, mesh_lib.label_spec())),
     )

@@ -87,6 +87,7 @@ class ParallelSection:
     data_axis: int = 1                # mesh size along batch axis
     time_axis: int = 1                # mesh size along temporal axis
     model_axis: int = 1               # mesh size along channel axis
+    shard_joints: bool = False        # model axis shards V (graph) not C
     precision: str = "default"        # "default" | "highest" | "bfloat16"
 
 

@@ -137,6 +137,7 @@ class Trainer:
         seed: int = 0,
         debug_nans: bool = False,
         mesh=None,
+        shard_joints: bool = False,
     ):
         self.model = model
         self.optimizer = optimizer or optax.adam(lr)
@@ -148,6 +149,7 @@ class Trainer:
         self.seed = seed
         self.debug_nans = debug_nans
         self.mesh = mesh
+        self.shard_joints = shard_joints
         self._shardings = None
         if mesh is None:
             self.train_step = make_train_step(model, self.optimizer,
@@ -170,14 +172,16 @@ class Trainer:
         )
 
         state, shardings = create_sharded_train_state(
-            self.model, self.optimizer, self.mesh, seed=self.seed)
+            self.model, self.optimizer, self.mesh, seed=self.seed,
+            shard_joints=self.shard_joints)
         if self.train_step is None:
             self._shardings = shardings
             self.train_step = make_sharded_train_step(
                 self.model, self.optimizer, self.mesh, shardings,
-                precision=self.precision)
+                precision=self.precision, shard_joints=self.shard_joints)
             self.eval_step = make_sharded_eval_step(
-                self.model, self.mesh, shardings, precision=self.precision)
+                self.model, self.mesh, shardings, precision=self.precision,
+                shard_joints=self.shard_joints)
         return state
 
     def _put_batch(self, x, y):
@@ -185,7 +189,8 @@ class Trainer:
             return jnp.asarray(x), jnp.asarray(y)
         from stgcn_tpu.parallel.train import shard_batch
 
-        return shard_batch(np.asarray(x), np.asarray(y), self.mesh)
+        return shard_batch(np.asarray(x), np.asarray(y), self.mesh,
+                           shard_joints=self.shard_joints)
 
     def maybe_resume(self, state: TrainState) -> tuple[TrainState, int]:
         """Restore the newest checkpoint if one exists; returns (state, epoch)."""

@@ -178,3 +178,53 @@ def test_tensor_parallel_actually_shards():
 def test_mesh_too_small_raises():
     with pytest.raises(ValueError):
         make_mesh(4, 4, 4)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1, 5)])
+def test_joint_sharded_matches_single_device(mesh_shape):
+    """Edge-partitioned graph sharding: V sharded over the model axis,
+    boundary-joint exchange generated by GSPMD — numerics must match the
+    single-device run (BASELINE north star)."""
+    model = model_for()
+    rng = np.random.default_rng(3)
+    x, y = random_batch(rng, 8, 32)
+    ref_ts, ref_losses = run_reference_steps(model, x, y)
+
+    mesh = make_mesh(*mesh_shape)
+    opt = optax.adam(1e-3)
+    from stgcn_tpu.parallel.train import (
+        create_sharded_train_state as csts,
+        make_sharded_train_step as msts,
+        shard_batch as sb,
+    )
+    state, shardings = csts(model, opt, mesh, seed=0, shard_joints=True)
+    step = msts(model, opt, mesh, shardings, donate=False, shard_joints=True)
+    xs, ys = sb(x, y, mesh, shard_joints=True)
+    losses = []
+    for _ in range(3):
+        state, m = step(state, xs, ys)
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-4, atol=1e-5)
+
+
+def test_joint_sharding_places_v_axis():
+    model = model_for()
+    mesh = make_mesh(1, 1, 5)
+    opt = optax.adam(1e-3)
+    from stgcn_tpu.parallel.train import create_sharded_train_state, shard_batch
+    state, _ = create_sharded_train_state(model, opt, mesh, shard_joints=True)
+    # params replicated in joint mode
+    w = state.params["blocks"][0]["spatial"]["w"]
+    assert all(s.data.shape == w.shape for s in w.addressable_shards)
+    x = np.zeros((4, 32, 25, 2), np.float32)
+    xs, _ = shard_batch(x, np.zeros(4, np.int64), mesh, shard_joints=True)
+    v_shards = {s.data.shape[2] for s in xs.addressable_shards}
+    assert v_shards == {5}  # 25 joints / 5-way model axis
+
+
+def test_joint_sharding_requires_divisible_v():
+    from stgcn_tpu.parallel.mesh import validate_joint_sharding
+    validate_joint_sharding(25, 5)
+    validate_joint_sharding(25, 1)
+    with pytest.raises(ValueError):
+        validate_joint_sharding(25, 2)
