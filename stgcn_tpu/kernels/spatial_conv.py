@@ -30,30 +30,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fwd_kernel(x_ref, w_ref, b_ref, a_ref, out_ref, *, num_partitions: int):
-    """One (TM, V, C_in) tile -> (TM, V, C_out)."""
+    """One (TM, V, C_in) tile -> (TM, V, C_out).
+
+    Layout discipline for Mosaic: the lane (minor) dimension is only ever
+    C_in/C_out or a contiguous collapse that keeps it minor — no reshapes
+    that split or merge across the lane boundary (e.g. (K, C_out) ->
+    (1, K*C_out) is an unsupported layout cast on TPU).
+    """
     tm, v, c_in = x_ref.shape
     c_out = out_ref.shape[-1]
     k = num_partitions
 
-    x = x_ref[:]                                   # (TM, V, C_in)
-    w = w_ref[:]                                   # (C_in, K*C_out)
-    # Stage 1 on the MXU: (TM*V, C_in) @ (C_in, K*C_out)
-    y = jax.lax.dot_general(
-        x.reshape(tm * v, c_in), w,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                              # (TM*V, K*C_out)
-    y = y + b_ref[:].reshape(1, k * c_out)
-    y = y.reshape(tm, v, k, c_out)
-
-    # Stage 2: per-partition aggregation over the joint axis, accumulated.
-    # einsum('vw,twoc->tv..') expressed as (V, V) @ (V, TM*C_out) matmuls.
+    x2d = x_ref[:].reshape(tm * v, c_in)           # contiguous collapse
     acc = jnp.zeros((v, tm * c_out), jnp.float32)
     for kk in range(k):
-        y_k = y[:, :, kk, :]                       # (TM, V, C_out)
-        y_kt = y_k.transpose(1, 0, 2).reshape(v, tm * c_out)
+        # Stage 1 on the MXU: (TM*V, C_in) @ (C_in, C_out) per partition.
+        y_k = jax.lax.dot_general(
+            x2d, w_ref[kk],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y_k = y_k + b_ref[kk]                      # (1, C_out) broadcast
+        # (TM, V, C_out) -> (V, TM, C_out) sublane shuffle, then collapse.
+        y_kt = y_k.reshape(tm, v, c_out).transpose(1, 0, 2)
+        # Stage 2: neighborhood aggregation (V, V) @ (V, TM*C_out).
         acc = acc + jax.lax.dot_general(
-            a_ref[kk], y_kt,
+            a_ref[kk], y_kt.reshape(v, tm * c_out),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -61,11 +63,10 @@ def _fwd_kernel(x_ref, w_ref, b_ref, a_ref, out_ref, *, num_partitions: int):
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _fwd_call(x2, w2, b, a, *, tm: int, interpret: bool):
-    """x2: (M, V, C_in) row-flattened input; returns (M, V, C_out)."""
+def _fwd_call(x2, w2, b2, a, *, tm: int, interpret: bool):
+    """x2: (M, V, C_in); w2: (K, C_in, C_out); b2: (K, 1, C_out)."""
     m, v, c_in = x2.shape
-    k = a.shape[0]
-    c_out = w2.shape[-1] // k
+    k, _, c_out = w2.shape
     grid = (m // tm,)
     kernel = functools.partial(_fwd_kernel, num_partitions=k)
     flops = 2 * m * v * c_in * k * c_out + 2 * m * k * v * v * c_out
@@ -75,9 +76,9 @@ def _fwd_call(x2, w2, b, a, *, tm: int, interpret: bool):
         in_specs=[
             pl.BlockSpec((tm, v, c_in), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_in, k * c_out), lambda i: (0, 0),
+            pl.BlockSpec((k, c_in, c_out), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c_out), lambda i: (0, 0),
+            pl.BlockSpec((k, 1, c_out), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, v, v), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -89,7 +90,7 @@ def _fwd_call(x2, w2, b, a, *, tm: int, interpret: bool):
             flops=flops, bytes_accessed=x2.size * 4 + m * v * c_out * 4,
             transcendentals=0),
         interpret=interpret,
-    )(x2, w2, b, a)
+    )(x2, w2, b2, a)
 
 
 def _pick_tile(m: int, v: int, c_in: int, c_out: int, k: int) -> int:
@@ -124,11 +125,12 @@ def _forward(x, w, b, a, tm, interpret):
     k, c_out = b.shape
     m = n * t
     x2 = x.reshape(m, v, c_in)
-    w2 = w.reshape(c_in, k * c_out)
+    w2 = w.transpose(1, 0, 2)          # (K, C_in, C_out)
+    b2 = b.reshape(k, 1, c_out)
     tile = tm or _pick_tile(m, v, c_in, c_out, k)
     if m % tile:
         tile = 1
-    out = _fwd_call(x2, w2, b, a, tm=tile, interpret=interpret)
+    out = _fwd_call(x2, w2, b2, a, tm=tile, interpret=interpret)
     return out.reshape(n, t, v, c_out)
 
 

@@ -29,10 +29,16 @@ def create_train_state(
     model,
     optimizer: optax.GradientTransformation,
     seed: int = 0,
+    rng_impl: str | None = None,
 ) -> TrainState:
+    """``rng_impl``: None = default threefry; "rbg" uses the TPU-native
+    hardware RNG (much cheaper dropout masks, weaker but sufficient
+    statistical guarantees for dropout)."""
     import jax.numpy as jnp
 
-    init_key, train_key = jax.random.split(jax.random.key(seed))
+    key = (jax.random.key(seed) if rng_impl is None
+           else jax.random.key(seed, impl=rng_impl))
+    init_key, train_key = jax.random.split(key)
     params, model_state = model.init(init_key)
     opt_state = optimizer.init(params)
     return TrainState(
