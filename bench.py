@@ -28,7 +28,15 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 REFERENCE_SRC = "/root/reference/src"
 
 
-def bench_ours(batch: int, t: int, steps: int = 20) -> dict:
+def bench_ours(batch: int, t: int, steps: int = 20,
+               precision: str = "bf16") -> dict:
+    """Fused-train-step throughput.
+
+    ``precision="bf16"`` is the production TPU config: bfloat16 activations
+    and matmuls, float32 master params/optimizer, float32 BatchNorm
+    statistics, TPU hardware RNG for the dropout masks.  ``"f32"`` is the
+    full-float32 parity configuration.
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -39,10 +47,13 @@ def bench_ours(batch: int, t: int, steps: int = 20) -> dict:
     from stgcn_tpu.training.loop import make_train_step
     from stgcn_tpu.training.train_state import create_train_state
 
+    bf16 = precision == "bf16"
     model = STGCN(STGCNConfig(strategy=Strategy.DISTANCE, d=1, residual=True,
-                              dropout_rate=0.5))
+                              dropout_rate=0.5,
+                              compute_dtype=jnp.bfloat16 if bf16 else None))
     opt = optax.adam(1e-3)
-    ts = create_train_state(model, opt, seed=0)
+    ts = create_train_state(model, opt, seed=0,
+                            rng_impl="rbg" if bf16 else None)
     step = make_train_step(model, opt)
     x, y = random_batch(np.random.default_rng(0), batch, t)
     x, y = jnp.asarray(x), jnp.asarray(y)
@@ -116,16 +127,18 @@ def reference_baseline_seq_per_s() -> float | None:
 
 
 def main() -> int:
-    ours = bench_ours(BATCH, T)
+    precision = "f32" if "--f32" in sys.argv else "bf16"
+    ours = bench_ours(BATCH, T, precision=precision)
     base = reference_baseline_seq_per_s()
     vs = ours["sequences_per_s"] / base if base else None
     print(json.dumps({
-        "metric": "train_throughput_stgcn10_b64_t304",
+        "metric": f"train_throughput_stgcn10_b64_t304_{precision}",
         "value": round(ours["sequences_per_s"], 2),
         "unit": "sequences/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }))
-    print(f"[bench] backend={ours['backend']} step={ours['step_time_s']*1e3:.1f}ms "
+    print(f"[bench] backend={ours['backend']} precision={precision} "
+          f"step={ours['step_time_s']*1e3:.1f}ms "
           f"frames/s={ours['frames_per_s']:.0f} "
           f"reference_cpu_seq_per_s={base and round(base, 3)}",
           file=sys.stderr)

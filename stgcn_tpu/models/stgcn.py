@@ -60,6 +60,17 @@ class STGCNConfig:
     compute_dtype: Any = None         # matmul input dtype (e.g. bfloat16);
                                       # None = same as activations
     spatial_impl: str = "einsum"      # "einsum" (XLA) | "pallas" (fused)
+    temporal_impl: str = "conv"       # "conv" (lax.conv) | "shift_sum"
+                                      # (gamma shifted channel matmuls — keeps
+                                      # every hot op C-minor, so XLA stops
+                                      # inserting layout copies between the
+                                      # conv's T-minor layout and the
+                                      # matmul/reduce C-minor layout)
+    remat: bool = False               # checkpoint each block: recompute its
+                                      # forward in the backward pass instead of
+                                      # saving intermediates to HBM (the model
+                                      # is bandwidth-bound, so this trades
+                                      # cheap FLOPs for HBM traffic)
 
 
 class STGCN:
@@ -108,7 +119,7 @@ class STGCN:
         bn_axis_names=None,
         precision=None,
         constrain=None,
-        temporal_impl: str = "conv",
+        temporal_impl: str | None = None,
     ) -> tuple[jax.Array, dict]:
         """Forward pass.
 
@@ -122,7 +133,22 @@ class STGCN:
           ``(logits (N, classes), new_state)``.
         """
         cfg = self.config
-        x = x.astype(cfg.dtype)
+        if temporal_impl is None:
+            temporal_impl = cfg.temporal_impl
+        if cfg.compute_dtype is not None:
+            # Mixed precision: cast params and activations to the compute
+            # dtype ONCE here, so activations live in (and move through HBM
+            # as) bfloat16 end to end.  The cast is differentiable, so
+            # gradients flow back to (and Adam updates) the float32 master
+            # params.  BatchNorm statistics stay float32 internally
+            # (ops/batchnorm.py) and the global pool / loss upcast, so the
+            # numerically sensitive reductions never run in bf16.
+            cast = lambda p: (p.astype(cfg.compute_dtype)  # noqa: E731
+                              if jnp.issubdtype(p.dtype, jnp.floating) else p)
+            params = jax.tree.map(cast, params)
+            x = x.astype(cfg.compute_dtype)
+        else:
+            x = x.astype(cfg.dtype)
         n_blocks = len(cfg.plan)
         if train and cfg.dropout_rate > 0:
             if rng is None:
@@ -139,15 +165,22 @@ class STGCN:
             # padding contained; the pool then averages valid frames only.
             h = h * time_mask[:, :, None, None].astype(h.dtype)
         for i, (c_out, stride) in enumerate(cfg.plan):
-            h, s = block_forward(
-                params["blocks"][i], state["blocks"][i], h, self.adjacency,
-                stride=stride, residual=cfg.residual,
-                dropout_rate=cfg.dropout_rate, train=train,
-                dropout_rng=drop_keys[i], bn_axis_names=bn_axis_names,
-                precision=precision, constrain=constrain,
-                temporal_impl=temporal_impl, compute_dtype=cfg.compute_dtype,
-                spatial_impl=cfg.spatial_impl,
-            )
+            def run_block(bp, bs, h, adj_, key, _stride=stride):
+                return block_forward(
+                    bp, bs, h, adj_,
+                    stride=_stride, residual=cfg.residual,
+                    dropout_rate=cfg.dropout_rate, train=train,
+                    dropout_rng=key, bn_axis_names=bn_axis_names,
+                    precision=precision, constrain=constrain,
+                    temporal_impl=temporal_impl,
+                    compute_dtype=cfg.compute_dtype,
+                    spatial_impl=cfg.spatial_impl,
+                )
+
+            if cfg.remat and train:
+                run_block = jax.checkpoint(run_block)
+            h, s = run_block(params["blocks"][i], state["blocks"][i], h,
+                             self.adjacency, drop_keys[i])
             new_blocks_s.append(s)
             if time_mask is not None:
                 if stride != 1:

@@ -30,10 +30,11 @@ def global_avg_pool(x: jax.Array, time_mask: jax.Array | None = None) -> jax.Arr
     length-bucketed batches; with ``None`` this matches the reference's
     ``avg_pool2d(x, (T, V))`` over wrap-padded batches exactly.
     """
+    acc = acc_dtype(x)  # accumulate the (T*V)-element mean in >= float32
     if time_mask is None:
-        return jnp.mean(x, axis=(1, 2))
-    m = time_mask[:, :, None, None].astype(x.dtype)
-    total = jnp.sum(x * m, axis=(1, 2))
+        return jnp.mean(x.astype(acc), axis=(1, 2))
+    m = time_mask[:, :, None, None].astype(acc)
+    total = jnp.sum(x.astype(acc) * m, axis=(1, 2))
     count = jnp.sum(m, axis=(1, 2)) * x.shape[2]
     return total / jnp.maximum(count, 1.0)
 

@@ -89,6 +89,8 @@ class ParallelSection:
     model_axis: int = 1               # mesh size along channel axis
     shard_joints: bool = False        # model axis shards V (graph) not C
     precision: str = "default"        # "default" | "highest" | "bfloat16"
+    remat: bool = False               # rematerialize block forwards in the
+                                      # backward pass (HBM-traffic saver)
 
 
 @dataclasses.dataclass
@@ -216,4 +218,5 @@ def model_config_from(cfg: ExperimentConfig) -> "Any":
         final_softmax=m.final_softmax,
         plan=plan,
         compute_dtype=compute_dtype,
+        remat=cfg.parallel.remat,
     )
