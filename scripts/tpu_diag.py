@@ -51,7 +51,8 @@ def timed(fn, *args, steps=10, warmup=2, donate_state=False):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", type=int, required=True, choices=(1, 2, 3, 4, 5))
+    ap.add_argument("--stage", type=int, required=True,
+                    choices=(1, 2, 3, 4, 5, 6, 7, 8))
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--t", type=int, default=304)
@@ -170,6 +171,115 @@ def main() -> int:
         report("full step, bf16 + dropout off",
                timed(make_train_step(m11, opt), ts11, x, y, steps=args.steps,
                      donate_state=True))
+
+    elif args.stage == 6:
+        m12, ts12 = build(compute_dtype=jnp.bfloat16, rng_impl="rbg",
+                          temporal_impl="block")
+        report("full step, bf16 + rbg + block-toeplitz",
+               timed(make_train_step(m12, opt), ts12, x, y, steps=args.steps,
+                     donate_state=True))
+
+        m13, ts13 = build(temporal_impl="block")
+        report("full step, f32 + block-toeplitz",
+               timed(make_train_step(m13, opt), ts13, x, y, steps=args.steps,
+                     donate_state=True))
+
+    elif args.stage == 7:
+        # hardware calibration: what does this chip actually deliver?
+        import functools
+
+        def bw_probe(nbytes, dtype=jnp.float32):
+            n = nbytes // jnp.dtype(dtype).itemsize
+            a = jnp.zeros((n,), dtype)
+
+            @jax.jit
+            def f(a):
+                return a * 1.0000001 + 1.0
+
+            dt = timed(f, a, steps=20)
+            # one read + one write per element
+            return 2 * nbytes / dt / 1e9
+
+        for mb in (64, 256, 1024):
+            gbps = bw_probe(mb * 2**20)
+            print(f"  elementwise {mb:5d} MB: {gbps:8.1f} GB/s eff "
+                  f"(read+write)", file=sys.stderr, flush=True)
+            results[f"bw_{mb}mb_gbps"] = round(gbps, 1)
+
+        def mm_probe(n, dtype):
+            a = jnp.ones((n, n), dtype)
+            b = jnp.ones((n, n), dtype)
+            f = jax.jit(functools.partial(
+                jnp.dot, preferred_element_type=jnp.float32))
+            dt = timed(f, a, b, steps=10)
+            return 2 * n**3 / dt / 1e12
+
+        for n, dt_ in ((4096, jnp.bfloat16), (8192, jnp.bfloat16),
+                       (4096, jnp.float32)):
+            tf = mm_probe(n, dt_)
+            name = f"matmul_{n}_{jnp.dtype(dt_).name}"
+            print(f"  {name:<28s} {tf:8.1f} TFLOP/s", file=sys.stderr,
+                  flush=True)
+            results[name] = round(tf, 1)
+
+        # the model's own shapes: stage-1 spatial matmul at layer scale
+        for (mrows, cin, cout) in ((64 * 304 * 25, 64, 128),
+                                   (64 * 76 * 25, 256, 512)):
+            a = jnp.ones((mrows, cin), jnp.bfloat16)
+            b = jnp.ones((cin, cout), jnp.bfloat16)
+            f = jax.jit(functools.partial(
+                jnp.dot, preferred_element_type=jnp.float32))
+            dt = timed(f, a, b, steps=10)
+            tf = 2 * mrows * cin * cout / dt / 1e12
+            print(f"  skinny ({mrows}x{cin})@({cin}x{cout}): {tf:6.1f} "
+                  f"TFLOP/s  {dt*1e3:.2f} ms", file=sys.stderr, flush=True)
+            results[f"skinny_{cin}x{cout}"] = round(tf, 1)
+
+    elif args.stage == 8:
+        # chained calibration: output feeds the next call, so nothing can be
+        # deduplicated or overlapped — true serial device throughput.
+        # (stage 7's unchained repeats measured impossible numbers: identical
+        # in-flight computations get collapsed somewhere in the axon path.)
+        def chain_time(f, a, steps=20):
+            a = f(a)  # warm compile
+            jax.block_until_ready(a)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                a = f(a)
+            jax.block_until_ready(a)
+            return (time.perf_counter() - t0) / steps
+
+        for mb in (64, 256, 1024):
+            n = mb * 2**20 // 4
+            a = jnp.zeros((n,), jnp.float32)
+            f = jax.jit(lambda a: a * 1.0000001 + 1.0)
+            dt = chain_time(f, a)
+            gbps = 2 * mb * 2**20 / dt / 1e9
+            print(f"  elementwise {mb:5d} MB: {gbps:8.1f} GB/s eff",
+                  file=sys.stderr, flush=True)
+            results[f"bw_{mb}mb_gbps"] = round(gbps, 1)
+
+        for n, dt_ in ((4096, jnp.bfloat16), (8192, jnp.bfloat16),
+                       (4096, jnp.float32)):
+            b = jnp.full((n, n), 1.0 / n, dt_)
+            f = jax.jit(lambda a: jnp.dot(
+                a, b, preferred_element_type=jnp.float32).astype(dt_))
+            dt = chain_time(f, jnp.ones((n, n), dt_), steps=10)
+            tf = 2 * n**3 / dt / 1e12
+            name = f"matmul_{n}_{jnp.dtype(dt_).name}"
+            print(f"  {name:<28s} {tf:8.1f} TFLOP/s ({dt*1e3:.2f} ms)",
+                  file=sys.stderr, flush=True)
+            results[name] = round(tf, 1)
+
+        for (mrows, cin) in ((64 * 304 * 25, 64), (64 * 76 * 25, 256)):
+            b = jnp.full((cin, cin), 1.0 / cin, jnp.bfloat16)
+            f = jax.jit(lambda a: jnp.dot(
+                a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+            dt = chain_time(f, jnp.ones((mrows, cin), jnp.bfloat16), steps=10)
+            tf = 2 * mrows * cin * cin / dt / 1e12
+            print(f"  skinny ({mrows}x{cin})@({cin}x{cin}): {tf:6.1f} "
+                  f"TFLOP/s  {dt*1e3:.3f} ms", file=sys.stderr, flush=True)
+            results[f"skinny_{cin}"] = round(tf, 1)
 
     else:
         m5, ts5 = build(compute_dtype=jnp.bfloat16)

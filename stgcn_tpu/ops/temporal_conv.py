@@ -53,8 +53,15 @@ def temporal_conv(
     explicit padding argument (src/lightning_model.py:45).
 
     ``impl``:
-      * ``"conv"`` — ``lax.conv_general_dilated`` (implicit GEMM; the
-        single-chip fast path).
+      * ``"conv"`` — ``lax.conv_general_dilated`` (implicit GEMM).
+      * ``"block"`` — block-Toeplitz matmul: T is reshaped into blocks of 8
+        output frames, the overlapping input span of each block is gathered
+        with shifted contiguous reshapes, and one einsum contracts
+        ``(span*C_in) -> (8*C_out)`` against a banded weight matrix.  ~1.8x
+        redundant MACs (zeros in the band), but every op is a C-minor
+        matmul, so XLA stops flip-flopping activation layouts around the
+        conv primitive (the single-chip profile showed ~19% of the step in
+        pure layout copies; see CLAUDE.md perf map).
       * ``"shift_sum"`` — sum over gamma shifted slices, each a channel
         matmul.  Numerically identical, but its GSPMD backward is correct
         under combined time-axis (window) + model-axis (channel) sharding,
@@ -67,6 +74,10 @@ def temporal_conv(
         padding = (gamma - 1) // 2
     out_dtype = x.dtype
     acc = acc_dtype(x)
+    if impl == "block":
+        return _temporal_conv_block(params, x, stride=stride,
+                                    padding=padding, precision=precision,
+                                    compute_dtype=compute_dtype)
     if impl == "shift_sum":
         return _temporal_conv_shift_sum(params, x, stride=stride,
                                         padding=padding, precision=precision,
@@ -90,6 +101,55 @@ def temporal_conv(
         precision=precision,
         preferred_element_type=acc,
     )
+    return (out + params["b"]).astype(out_dtype)
+
+
+def _temporal_conv_block(params: dict, x: jax.Array, *, stride: int,
+                         padding: int, precision=None, compute_dtype=None,
+                         block: int = 8) -> jax.Array:
+    """Block-Toeplitz temporal conv: one MXU matmul per network layer.
+
+    For each block of ``block`` consecutive output frames, the receptive
+    field is a span of ``u = block*stride + gamma - stride`` input frames
+    starting at ``tb * block * stride``.  Those spans are materialized as
+    ``(N, nb, u, V, C_in)`` from ceil(u / (block*stride)) shifted contiguous
+    reshapes of the padded input (pure views + one concat), and contracted
+    with a banded weight matrix ``W2[u, j] = w[u - j*stride]`` in a single
+    einsum over ``(u, C_in)``.  The zero entries of the band cost ~0.8x extra
+    MACs at gamma=9 — irrelevant on an HBM-bound model — and in exchange the
+    whole network (forward AND backward) is channel-minor matmuls.
+    """
+    out_dtype = x.dtype
+    w = params["w"][:, 0]  # (gamma, C_in, C_out)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    gamma = w.shape[0]
+    n, t, v, c_in = x.shape
+    c_out = w.shape[-1]
+    t_out = (t + 2 * padding - gamma) // stride + 1
+    nb = -(-t_out // block)                     # output blocks
+    bis = block * stride                        # input-block stride
+    u = bis + gamma - stride                    # input span per block
+    m = -(-u // bis)                            # shifted copies needed
+    # left pad = reference padding; right pad so every shifted reshape fits
+    right = (nb + m - 1) * bis - t - padding
+    xp = jnp.pad(x, [(0, 0), (padding, max(right, 0)), (0, 0), (0, 0)])
+    parts = [
+        xp[:, i * bis:(i + nb) * bis].reshape(n, nb, bis, v, c_in)
+        for i in range(m)
+    ]
+    x2 = jnp.concatenate(parts, axis=2)[:, :, :u] if m > 1 else parts[0][:, :, :u]
+    # banded weights: W2[uu, j] = w[uu - j*stride] where the tap is in range
+    uu = jnp.arange(u)[:, None]
+    jj = jnp.arange(block)[None, :] * stride
+    g = uu - jj                                 # (u, block) tap index
+    valid = (g >= 0) & (g < gamma)
+    w2 = jnp.where(valid[:, :, None, None],
+                   w[jnp.clip(g, 0, gamma - 1)], 0)  # (u, block, C_in, C_out)
+    out = jnp.einsum("nbuvi,ujio->nbjvo", x2, w2, precision=precision,
+                     preferred_element_type=acc_dtype(x))
+    out = out.reshape(n, nb * block, v, c_out)[:, :t_out]
     return (out + params["b"]).astype(out_dtype)
 
 

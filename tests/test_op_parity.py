@@ -151,6 +151,36 @@ class TestTemporalConvParity:
                                 stride=2, precision=HI)
             assert _from_ours_layout(got).shape == want.shape
 
+    def test_impls_agree(self, rng):
+        """All three formulations (conv primitive, block-Toeplitz matmul,
+        shift_sum) compute the same op — values and gradients."""
+        from stgcn_tpu.ops.temporal_conv import init_temporal_conv
+
+        for (c_in, c_out, gamma, stride, T) in [
+            (4, 6, 9, 1, 304), (6, 6, 9, 2, 304), (3, 5, 9, 1, 37),
+            (4, 4, 5, 2, 50), (2, 3, 3, 1, 8),
+        ]:
+            params = init_temporal_conv(jax.random.key(1), c_in, c_out, gamma)
+            x = jnp.asarray(rng.standard_normal((2, T, 25, c_in)), jnp.float32)
+
+            def loss(p, x, impl):
+                y = temporal_conv(p, x, stride=stride, impl=impl,
+                                  precision=HI)
+                return jnp.sum(jnp.sin(y)), y
+
+            grads, outs = {}, {}
+            for impl in ("conv", "block", "shift_sum"):
+                (_, y), g = jax.value_and_grad(
+                    loss, argnums=(0, 1), has_aux=True)(params, x, impl)
+                outs[impl], grads[impl] = y, g
+            for impl in ("block", "shift_sum"):
+                np.testing.assert_allclose(outs[impl], outs["conv"],
+                                           rtol=1e-4, atol=1e-4)
+                jax.tree.map(
+                    lambda a, b: np.testing.assert_allclose(
+                        a, b, rtol=1e-3, atol=1e-4),
+                    grads[impl], grads["conv"])
+
 
 def _block_pytrees_from_ref(ref_block, num_partitions, residual):
     """Copy one SpatialTemporalConv's weights via the importer mapping."""
