@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Edges/s throughput and mesh-scaling harness (BASELINE.json north star).
+
+Two modes:
+
+* ``--tpu`` (default on a TPU host): absolute single-chip edges/s of the
+  fused train step at the standard (B=64) and NTU-scale (B=256) batch,
+  T=304 frames, production bf16 config.  Run alone — the axon tunnel is
+  single-tenant.
+* ``--cpu-mesh``: strong-scaling sweep of the SHARDED step over a virtual
+  1/2/4/8-device CPU mesh (data-parallel axis).  Virtual devices share the
+  host's cores, so the absolute numbers mean nothing; what this validates is
+  that GSPMD partitioning + the gradient all-reduce keep per-step time flat
+  as the mesh grows (collective/partitioning overhead), and it exercises the
+  exact code path a real pod runs.
+
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed_steps(step, ts, x, y, steps=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        ts, m = step(ts, x, y)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        ts, m = step(ts, x, y)
+    jax.block_until_ready(m["loss"])
+    return (time.perf_counter() - t0) / steps
+
+
+def bench_tpu(batches=(64, 256), t=304) -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stgcn_tpu.data.synthetic import random_batch
+    from stgcn_tpu.graph.adjacency import Strategy
+    from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+    from stgcn_tpu.training.loop import make_train_step
+    from stgcn_tpu.training.train_state import create_train_state
+    from stgcn_tpu.utils.profiling import ModelFlops
+
+    model = STGCN(STGCNConfig(strategy=Strategy.DISTANCE, d=1, residual=True,
+                              dropout_rate=0.5, compute_dtype=jnp.bfloat16))
+    opt = optax.adam(1e-3)
+    for b in batches:
+        ts = create_train_state(model, opt, seed=0, rng_impl="rbg")
+        step = make_train_step(model, opt)
+        x, y = random_batch(np.random.default_rng(0), b, t)
+        dt = timed_steps(step, ts, jnp.asarray(x), jnp.asarray(y))
+        mf = ModelFlops.of(model, b, t)
+        print(json.dumps({
+            "mode": "tpu_single_chip", "batch": b, "t": t,
+            "step_ms": round(dt * 1e3, 2),
+            "sequences_per_s": round(b / dt, 1),
+            "edges_per_s": round(mf.edges_per_s(dt), 0),
+            "train_tflops_per_s": round(mf.tflops_per_s(dt), 2),
+            "backend": jax.default_backend(),
+        }), flush=True)
+
+
+def bench_cpu_mesh(mesh_sizes=(1, 2, 4, 8), batch=32, t=64) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp  # noqa: F401
+    import optax
+
+    from stgcn_tpu.data.synthetic import random_batch
+    from stgcn_tpu.graph.adjacency import Strategy
+    from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+    from stgcn_tpu.parallel.mesh import make_mesh
+    from stgcn_tpu.parallel.train import (
+        create_sharded_train_state,
+        make_sharded_train_step,
+        shard_batch,
+    )
+    from stgcn_tpu.utils.profiling import ModelFlops
+
+    model = STGCN(STGCNConfig(
+        plan=((16, 1), (32, 2)), strategy=Strategy.DISTANCE, d=1,
+        dropout_rate=0.1, residual=True))
+    opt = optax.adam(1e-3)
+    base = None
+    for n in mesh_sizes:
+        mesh = make_mesh(n, 1, 1)
+        state, shardings = create_sharded_train_state(model, opt, mesh,
+                                                      seed=0)
+        step = make_sharded_train_step(model, opt, mesh, shardings)
+        x, y = random_batch(np.random.default_rng(0), batch, t)
+        xs, ys = shard_batch(np.asarray(x), np.asarray(y), mesh)
+        dt = timed_steps(step, state, xs, ys, steps=5)
+        mf = ModelFlops.of(model, batch, t)
+        base = base or dt
+        print(json.dumps({
+            "mode": "cpu_virtual_mesh", "devices": n, "batch": batch, "t": t,
+            "step_ms": round(dt * 1e3, 2),
+            "edges_per_s": round(mf.edges_per_s(dt), 0),
+            "step_time_vs_1dev": round(dt / base, 3),
+        }), flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-mesh", action="store_true")
+    ap.add_argument("--tpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu_mesh:
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            (os.environ.get("XLA_FLAGS", "") +
+             " --xla_force_host_platform_device_count=8").strip())
+        bench_cpu_mesh()
+    else:
+        bench_tpu()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -162,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_every_epochs=t.checkpoint_every_epochs,
         log_every_steps=t.log_every_steps, seed=t.seed,
         debug_nans=t.debug_nans,
+        check_invariants=t.check_invariants,
     )
     state = trainer.init_state()
     start_epoch = 0

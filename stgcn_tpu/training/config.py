@@ -79,6 +79,8 @@ class TrainSection:
     eval_every_epochs: int = 1
     seed: int = 0
     debug_nans: bool = False
+    check_invariants: bool = False    # checkify'd step: in-jit label-range /
+                                      # finite-loss / finite-grad assertions
     profile_dir: str = ""  # write a jax.profiler device trace here
 
 

@@ -136,6 +136,7 @@ class Trainer:
         log_every_steps: int = 10,
         seed: int = 0,
         debug_nans: bool = False,
+        check_invariants: bool = False,
         mesh=None,
         shard_joints: bool = False,
     ):
@@ -152,8 +153,13 @@ class Trainer:
         self.shard_joints = shard_joints
         self._shardings = None
         if mesh is None:
-            self.train_step = make_train_step(model, self.optimizer,
-                                              precision=precision)
+            if check_invariants:
+                from stgcn_tpu.training.checks import make_checked_train_step
+                self.train_step = make_checked_train_step(
+                    model, self.optimizer, precision=precision)
+            else:
+                self.train_step = make_train_step(model, self.optimizer,
+                                                  precision=precision)
             self.eval_step = make_eval_step(model, precision=precision)
         else:
             # steps are built lazily in init_state once shardings exist

@@ -264,3 +264,40 @@ class TestBF16:
         # logits agree to bf16 resolution
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.1, atol=0.15)
+
+
+class TestCheckedStep:
+    """checkify invariant checks inside the jitted step (SURVEY.md §5's
+    jit-world analogue of the reference's autograd.set_detect_anomaly)."""
+
+    def _setup(self, rng):
+        from stgcn_tpu.training.checks import make_checked_train_step
+
+        model = tiny_model()
+        opt = optax.adam(1e-2)
+        ts = create_train_state(model, opt, seed=0)
+        step = make_checked_train_step(model, opt)
+        x, y = random_batch(rng, 4, 16)
+        return step, ts, jnp.asarray(x), jnp.asarray(y)
+
+    def test_clean_step_passes(self, rng):
+        step, ts, x, y = self._setup(rng)
+        ts2, m = step(ts, x, y)
+        assert np.isfinite(float(m["loss"]))
+        assert int(ts2.step) == 1
+
+    def test_label_out_of_range_trips(self, rng):
+        from jax._src.checkify import JaxRuntimeError
+
+        step, ts, x, y = self._setup(rng)
+        bad = y.at[0].set(99)
+        with pytest.raises(JaxRuntimeError, match="label out of range"):
+            step(ts, x, bad)
+
+    def test_nonfinite_input_trips(self, rng):
+        from jax._src.checkify import JaxRuntimeError
+
+        step, ts, x, y = self._setup(rng)
+        bad = x.at[0, 0, 0, 0].set(np.nan)
+        with pytest.raises(JaxRuntimeError):
+            step(ts, bad, y)
