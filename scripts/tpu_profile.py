@@ -31,12 +31,15 @@ def capture(precision: str, out_dir: str, batch: int, t: int) -> str:
     from stgcn_tpu.training.loop import make_train_step
     from stgcn_tpu.training.train_state import create_train_state
 
+    bf16 = precision == "bf16"
     cfg = STGCNConfig(
         strategy=Strategy.DISTANCE, d=1, residual=True, dropout_rate=0.5,
-        compute_dtype=jnp.bfloat16 if precision == "bf16" else None)
+        compute_dtype=jnp.bfloat16 if bf16 else None)
     model = STGCN(cfg)
     opt = optax.adam(1e-3)
-    ts = create_train_state(model, opt, seed=0)
+    # match bench.py's production config: hardware RNG for dropout in bf16
+    ts = create_train_state(model, opt, seed=0,
+                            rng_impl="rbg" if bf16 else None)
     step = make_train_step(model, opt)
     x, y = random_batch(np.random.default_rng(0), batch, t)
     x, y = jnp.asarray(x), jnp.asarray(y)

@@ -54,6 +54,11 @@ def temporal_conv(
 
     ``impl``:
       * ``"conv"`` — ``lax.conv_general_dilated`` (implicit GEMM).
+      * ``"pallas"`` / ``"pallas_interpret"`` — fused Pallas kernel
+        (stgcn_tpu.kernels.temporal_conv): channel-minor layout end to end,
+        halo'd VMEM time-tiles, custom VJP with Pallas dx/dw kernels.  The
+        production TPU path — it removes the transpose copies XLA inserts
+        around the conv primitive.  ``_interpret`` runs it on CPU for tests.
       * ``"block"`` — block-Toeplitz matmul: T is reshaped into blocks of 8
         output frames, the overlapping input span of each block is gathered
         with shifted contiguous reshapes, and one einsum contracts
@@ -74,6 +79,15 @@ def temporal_conv(
         padding = (gamma - 1) // 2
     out_dtype = x.dtype
     acc = acc_dtype(x)
+    if impl in ("pallas", "pallas_interpret"):
+        from stgcn_tpu.kernels.temporal_conv import temporal_conv_fused
+        w = params["w"][:, 0]                      # (gamma, C_in, C_out)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+        out = temporal_conv_fused(x, w, params["b"], stride, padding,
+                                  None, impl == "pallas_interpret", precision)
+        return out.astype(out_dtype)
     if impl == "block":
         return _temporal_conv_block(params, x, stride=stride,
                                     padding=padding, precision=precision,

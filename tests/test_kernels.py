@@ -84,3 +84,93 @@ class TestFusedSpatialConv:
             b, _ = m_pal.apply(params, state, x, train=False)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestFusedTemporalConv:
+    """Pallas temporal conv vs the lax.conv path (interpreter mode).
+
+    Covers strides 1/2, non-multiple tile tails, odd gamma/padding combos,
+    and end-to-end gradients through the custom VJP.
+    """
+
+    CASES = [
+        # (n, t, c, stride, gamma)
+        (2, 30, 8, 1, 9),
+        (2, 30, 8, 2, 9),
+        (1, 19, 16, 2, 9),
+        (2, 17, 8, 1, 5),
+        (1, 304, 8, 2, 9),
+    ]
+
+    @pytest.mark.parametrize("n,t,c,stride,gamma", CASES)
+    def test_forward_matches_conv(self, n, t, c, stride, gamma):
+        from stgcn_tpu.ops.temporal_conv import (
+            init_temporal_conv,
+            temporal_conv,
+        )
+
+        rng = np.random.default_rng(0)
+        p = init_temporal_conv(jax.random.key(0), c, c, gamma)
+        x = jnp.asarray(rng.standard_normal((n, t, 25, c)), jnp.float32)
+        want = temporal_conv(p, x, stride=stride, impl="conv")
+        got = temporal_conv(p, x, stride=stride, impl="pallas_interpret")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("n,t,c,stride,gamma", CASES[:3])
+    def test_gradients_match_conv(self, n, t, c, stride, gamma):
+        from stgcn_tpu.ops.temporal_conv import (
+            init_temporal_conv,
+            temporal_conv,
+        )
+
+        rng = np.random.default_rng(1)
+        p = init_temporal_conv(jax.random.key(0), c, c, gamma)
+        x = jnp.asarray(rng.standard_normal((n, t, 25, c)), jnp.float32)
+
+        def loss(p, x, impl):
+            return jnp.sum(
+                jnp.sin(temporal_conv(p, x, stride=stride, impl=impl)))
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(p, x, "conv")
+        g_pal = jax.grad(loss, argnums=(0, 1))(p, x, "pallas_interpret")
+        for a_, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
+                                       rtol=1e-3, atol=1e-3)
+
+    def test_bf16_forward(self):
+        from stgcn_tpu.ops.temporal_conv import (
+            init_temporal_conv,
+            temporal_conv,
+        )
+
+        rng = np.random.default_rng(2)
+        p = init_temporal_conv(jax.random.key(0), 8, 8, 9)
+        x = jnp.asarray(rng.standard_normal((2, 30, 25, 8)), jnp.float32)
+        want = temporal_conv(p, x, stride=1, impl="conv",
+                             compute_dtype=jnp.bfloat16)
+        got = temporal_conv(p, x, stride=1, impl="pallas_interpret",
+                            compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=0.05, atol=0.05)
+
+    def test_model_level_pallas_impl(self):
+        """STGCNConfig(temporal_impl='pallas') end to end (interpret mode)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+
+        m_conv = STGCN(STGCNConfig(plan=((8, 1), (16, 2)),
+                                   strategy=Strategy.DISTANCE))
+        m_pal = STGCN(STGCNConfig(plan=((8, 1), (16, 2)),
+                                  strategy=Strategy.DISTANCE,
+                                  temporal_impl="pallas"))
+        params, state = m_conv.init(jax.random.key(0))
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 16, 25, 2)), jnp.float32)
+        a, _ = m_conv.apply(params, state, x, train=False)
+        with pltpu.force_tpu_interpret_mode():
+            b, _ = m_pal.apply(params, state, x, train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
