@@ -120,6 +120,8 @@ def main() -> int:
     ap.add_argument("--cpu-mesh", action="store_true")
     ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
+    if args.cpu_mesh == args.tpu:
+        ap.error("pick exactly one mode: --tpu or --cpu-mesh")
     if args.cpu_mesh:
         os.environ.setdefault(
             "XLA_FLAGS",

@@ -361,11 +361,11 @@ def _forward(x, w, b, stride, padding, bt, interpret, precision=None):
 
 def _fwd_rule(x, w, b, stride, padding, bt, interpret, precision=None):
     return (_forward(x, w, b, stride, padding, bt, interpret, precision),
-            (x, w))
+            (x, w, b))
 
 
 def _bwd_rule(stride, padding, bt, interpret, precision, res, g):
-    x, w = res
+    x, w, b = res
     gamma, padding, t_out, btr = _resolve(x, w, stride, padding, bt)
     # the dx tile must cover whole stride groups and the halo offsets
     pad_l = _cdiv(gamma - 1 - padding, stride) if gamma - 1 > padding else 0
@@ -377,7 +377,7 @@ def _bwd_rule(stride, padding, bt, interpret, precision, res, g):
     dw = _dw_call(x, g, gamma=gamma, stride=stride, padding=padding,
                   bt=btr, interpret=interpret, precision=precision)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
-    return dx, dw.astype(w.dtype), db.astype(w.dtype)
+    return dx, dw.astype(w.dtype), db.astype(b.dtype)
 
 
 temporal_conv_fused.defvjp(_fwd_rule, _bwd_rule)

@@ -57,6 +57,11 @@ def label_spec() -> P:
     return P(AXIS_DATA)
 
 
+def time_mask_spec() -> P:
+    """``(N, T)`` frame-validity mask: sharded like the batch's N and T."""
+    return P(AXIS_DATA, AXIS_TIME)
+
+
 def replicated_param_specs(params) -> dict:
     """All-replicated param specs (used by joint-sharded mode, where the
     parallelism lives in the activations, not the weights)."""

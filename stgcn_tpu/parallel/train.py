@@ -87,25 +87,53 @@ def create_sharded_train_state(
     return state, shardings
 
 
+def select_temporal_impl(mesh: Mesh, configured: str = "conv") -> str:
+    """Pick the temporal-conv implementation for a given mesh.
+
+    ``lax.conv_general_dilated``'s GSPMD backward double-counts upstream
+    gradients only when the window axis (``time``) and the channel axis
+    (``model``) are BOTH sharded (observed: exactly 2x on bn grads for
+    time>1 x model>1 meshes; see CLAUDE.md).  Every other mesh shape runs
+    the fast conv path; the combined shape falls back to the numerically
+    identical ``shift_sum`` formulation whose backward partitions correctly.
+
+    The Pallas kernel is not GSPMD-partitionable across these meshes (it
+    plugs in via shard_map halo exchange instead — parallel/halo), so a
+    configured ``pallas`` degrades to ``conv`` here.
+    """
+    if mesh.shape[mesh_lib.AXIS_TIME] > 1 and mesh.shape[mesh_lib.AXIS_MODEL] > 1:
+        return "shift_sum"
+    if configured in ("pallas", "pallas_interpret"):
+        return "conv"
+    return configured
+
+
 def make_sharded_train_step(
     model, optimizer: optax.GradientTransformation, mesh: Mesh,
     shardings: TrainState, *, precision=None, donate: bool = True,
-    shard_joints: bool = False,
+    shard_joints: bool = False, use_time_mask: bool = False,
 ) -> Callable:
-    """Sharded (state, x, y) -> (state, metrics) step."""
+    """Sharded (state, x, y[, time_mask]) -> (state, metrics) step.
+
+    With ``use_time_mask`` the step takes an ``(N, T)`` validity mask sharded
+    like the batch's leading axes (bucketed collation at NTU scale — the
+    masked global pool then ignores padded frames on every shard)."""
     x_sh = NamedSharding(mesh, mesh_lib.batch_spec(shard_joints))
     y_sh = NamedSharding(mesh, mesh_lib.label_spec())
+    m_sh = NamedSharding(mesh, mesh_lib.time_mask_spec())
     rep = mesh_lib.replicated(mesh)
     constrain = mesh_lib.activation_constrainer(mesh, shard_joints)
+    temporal_impl = select_temporal_impl(mesh, model.config.temporal_impl)
 
-    def step(ts: TrainState, x: jax.Array, y: jax.Array):
+    def step(ts: TrainState, x: jax.Array, y: jax.Array,
+             time_mask: jax.Array | None = None):
         step_rng = jax.random.fold_in(ts.rng, ts.step)
 
         def loss_fn(params):
             logits, new_mstate = model.apply(
                 params, ts.model_state, x, train=True, rng=step_rng,
-                precision=precision, constrain=constrain,
-                temporal_impl="shift_sum")
+                time_mask=time_mask, precision=precision,
+                constrain=constrain, temporal_impl=temporal_impl)
             return M.cross_entropy(logits, y), (logits, new_mstate)
 
         (loss, (logits, new_mstate)), grads = jax.value_and_grad(
@@ -118,9 +146,10 @@ def make_sharded_train_step(
             step=ts.step + 1, rng=ts.rng)
         return new_ts, metrics
 
+    in_sh = (shardings, x_sh, y_sh) + ((m_sh,) if use_time_mask else ())
     return jax.jit(
         step,
-        in_shardings=(shardings, x_sh, y_sh),
+        in_shardings=in_sh,
         out_shardings=(shardings, {"loss": rep, "acc": rep}),
         donate_argnums=(0,) if donate else (),
     )
@@ -135,10 +164,12 @@ def make_sharded_eval_step(model, mesh: Mesh, shardings: TrainState,
     num_classes = model.config.num_classes
     constrain = mesh_lib.activation_constrainer(mesh, shard_joints)
 
+    temporal_impl = select_temporal_impl(mesh, model.config.temporal_impl)
+
     def step(ts: TrainState, x: jax.Array, y: jax.Array):
         logits, _ = model.apply(ts.params, ts.model_state, x, train=False,
                                 precision=precision, constrain=constrain,
-                                temporal_impl="shift_sum")
+                                temporal_impl=temporal_impl)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
         pred = jnp.argmax(logits, axis=-1)
@@ -154,9 +185,14 @@ def make_sharded_eval_step(model, mesh: Mesh, shardings: TrainState,
                    out_shardings=out_sh)
 
 
-def shard_batch(x, y, mesh: Mesh, shard_joints: bool = False):
+def shard_batch(x, y, mesh: Mesh, shard_joints: bool = False,
+                time_mask=None):
     """Place a host batch onto the mesh with the canonical batch sharding."""
-    return (
+    out = (
         jax.device_put(x, NamedSharding(mesh, mesh_lib.batch_spec(shard_joints))),
         jax.device_put(y, NamedSharding(mesh, mesh_lib.label_spec())),
     )
+    if time_mask is not None:
+        out += (jax.device_put(
+            time_mask, NamedSharding(mesh, mesh_lib.time_mask_spec())),)
+    return out

@@ -42,13 +42,42 @@ class Predictor:
 
     def __init__(self, model: STGCN, params: dict, state: dict,
                  buckets: tuple[int, ...] | None = None,
-                 max_batch: int = 64):
+                 max_batch: int = 64, batch_pad: str = "max"):
+        """``batch_pad`` pins the batch-dimension padding policy:
+
+        * ``"max"`` (default) — every partial chunk is zero-padded to
+          ``max_batch``, so exactly one executable exists per bucket length
+          and ``warmup()`` precompiles all of them.  Worst case wastes
+          ``max_batch - 1`` rows of compute on a single-sequence query —
+          irrelevant next to a single XLA compile (~30 s over the TPU
+          tunnel).
+        * ``"pow2"`` — pad to the next power of two (capped at
+          ``max_batch``): at most ``log2(max_batch)+1`` executables per
+          bucket, at most 2x padded compute.
+        * ``"none"`` — exact shapes, one executable per distinct (N, T).
+        """
+        if batch_pad not in ("max", "pow2", "none"):
+            raise ValueError(f"batch_pad must be max|pow2|none, "
+                             f"got {batch_pad!r}")
         self.model = model
         self.params = jax.tree.map(jnp.asarray, params)
         self.state = jax.tree.map(jnp.asarray, state)
         self.buckets = tuple(buckets or default_buckets(1024))
         self.max_batch = max_batch
+        self.batch_pad = batch_pad
         self._compiled: dict[tuple[int, int], callable] = {}
+
+    def _padded_batch(self, n: int) -> int:
+        """Compiled batch size for an ``n``-sequence chunk (the pinned
+        ``batch_pad`` policy)."""
+        if n >= self.max_batch or self.batch_pad == "none":
+            return n
+        if self.batch_pad == "max":
+            return self.max_batch
+        p = 1
+        while p < n:
+            p *= 2
+        return min(p, self.max_batch)
 
     # -- constructors ------------------------------------------------------
     @classmethod
@@ -115,9 +144,8 @@ class Predictor:
                     wrap_pad(np.asarray(sequences[i], np.float32), b)
                     for i in chunk])
                 # pad the batch dim to the compiled size for shape reuse
-                pad_n = 0
-                if len(chunk) < self.max_batch and len(by_bucket) * 2 < n:
-                    pad_n = self.max_batch - len(chunk)
+                pad_n = self._padded_batch(len(chunk)) - len(chunk)
+                if pad_n:
                     x = np.concatenate(
                         [x, np.zeros((pad_n, *x.shape[1:]), np.float32)])
                 out = self.predict_batch(x)

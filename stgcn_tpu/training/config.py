@@ -34,6 +34,8 @@ class ModelSection:
     residual: bool = False
     num_layers: int = 10              # 10 (code) or 9 (report variant)
     final_softmax: bool = False
+    temporal_impl: str = "conv"       # conv | pallas | block | shift_sum
+    spatial_impl: str = "einsum"      # einsum | pallas
 
 
 @dataclasses.dataclass
@@ -220,5 +222,7 @@ def model_config_from(cfg: ExperimentConfig) -> "Any":
         final_softmax=m.final_softmax,
         plan=plan,
         compute_dtype=compute_dtype,
+        temporal_impl=m.temporal_impl,
+        spatial_impl=m.spatial_impl,
         remat=cfg.parallel.remat,
     )

@@ -152,6 +152,11 @@ class Trainer:
         self.mesh = mesh
         self.shard_joints = shard_joints
         self._shardings = None
+        if check_invariants and mesh is not None:
+            raise ValueError(
+                "check_invariants is only supported for single-device "
+                "training (the checkify'd step is not built for a mesh); "
+                "drop --train.check_invariants or the --parallel.* axes")
         if mesh is None:
             if check_invariants:
                 from stgcn_tpu.training.checks import make_checked_train_step
@@ -254,20 +259,27 @@ class Trainer:
         result = TrainResult()
         if self.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        step_i = int(state.step)  # one sync up front, then host-side counting
         try:
             for epoch in range(start_epoch, epochs):
                 t0 = time.time()
+                # Keep per-step metrics as device arrays: fetching them with
+                # float() would synchronize host<->device every step and
+                # defeat async dispatch.  They are pulled in one device_get
+                # at logging points and at epoch end.
                 losses, accs = [], []
                 for x, y, _lens in train_data(epoch):
                     state, m = self.train_step(state, *self._put_batch(x, y))
-                    step_i = int(state.step)
-                    loss = float(m["loss"])
-                    losses.append(loss)
-                    accs.append(float(m["acc"]))
+                    step_i += 1
+                    losses.append(m["loss"])
+                    accs.append(m["acc"])
                     if self.logger and step_i % self.log_every_steps == 0:
                         self.logger.log_dict(
-                            {"step_loss": loss, "step_acc": accs[-1]}, step_i)
+                            {"step_loss": float(m["loss"]),
+                             "step_acc": float(m["acc"])}, step_i)
 
+                losses = [float(v) for v in jax.device_get(losses)]
+                accs = [float(v) for v in jax.device_get(accs)]
                 epoch_metrics = {
                     "train_loss": float(np.mean(losses)) if losses else 0.0,
                     "train_acc": float(np.mean(accs)) if accs else 0.0,

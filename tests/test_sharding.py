@@ -42,16 +42,17 @@ def model_for(**kw):
 def _first_step_grads(model, x, y, mesh=None):
     """Loss gradient of the initial state, optionally under a mesh."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+    from stgcn_tpu.parallel.train import select_temporal_impl
     from stgcn_tpu.training import metrics as M
 
     opt = optax.adam(1e-3)
+    impl = "conv" if mesh is None else select_temporal_impl(mesh, "conv")
 
     def make_loss_fn(constrain):
         def loss_fn(params, mstate, x, y):
             logits, _ = model.apply(
                 params, mstate, x, train=True, rng=jax.random.key(7),
-                constrain=constrain,
-                temporal_impl="conv" if constrain is None else "shift_sum")
+                constrain=constrain, temporal_impl=impl)
             return M.cross_entropy(logits, y)
         return loss_fn
 
@@ -117,6 +118,55 @@ def test_sharded_matches_single_device(mesh_shape):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(jax.device_get(b)),
             rtol=1e-3, atol=1e-5, err_msg=str(pa))
+
+
+def test_select_temporal_impl():
+    """The shift_sum fallback fires only on the actual XLA bug condition
+    (time>1 AND model>1 — conv backward double-counts there); every other
+    mesh keeps the fast conv path (VERDICT r1 item 3)."""
+    from stgcn_tpu.parallel.train import select_temporal_impl
+    assert select_temporal_impl(make_mesh(8, 1, 1)) == "conv"
+    assert select_temporal_impl(make_mesh(1, 8, 1)) == "conv"
+    assert select_temporal_impl(make_mesh(1, 1, 8)) == "conv"
+    assert select_temporal_impl(make_mesh(2, 2, 1)) == "conv"
+    assert select_temporal_impl(make_mesh(1, 2, 2)) == "shift_sum"
+    assert select_temporal_impl(make_mesh(2, 2, 2)) == "shift_sum"
+    # pallas is shard_map-only; it degrades to conv under GSPMD
+    assert select_temporal_impl(make_mesh(2, 2, 1), "pallas") == "conv"
+    assert select_temporal_impl(make_mesh(8, 1, 1), "block") == "block"
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 1), (2, 2, 2)])
+def test_sharded_masked_step_matches_single_device(mesh_shape):
+    """Bucketed (masked) batches through the sharded step — the NTU-scale
+    config-5 shape: (data, time) mesh + (N, T) time_mask + masked pool."""
+    model = model_for()
+    rng = np.random.default_rng(5)
+    x, y = random_batch(rng, 8, 32)
+    lengths = np.array([32, 24, 32, 16, 28, 32, 20, 32])
+    mask = (np.arange(32)[None, :] < lengths[:, None]).astype(np.float32)
+
+    opt = optax.adam(1e-3)
+    ts = create_train_state(model, opt, seed=0)
+    step = make_train_step(model, opt, donate=False, use_time_mask=True)
+    ref_losses = []
+    for _ in range(3):
+        ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask))
+        ref_losses.append(float(m["loss"]))
+    # the mask must matter at all for this test to mean anything
+    _, ref_unmasked = run_reference_steps(model, x, y, n_steps=1)
+    assert abs(ref_unmasked[0] - ref_losses[0]) > 1e-6
+
+    mesh = make_mesh(*mesh_shape)
+    state, shardings = create_sharded_train_state(model, opt, mesh, seed=0)
+    sstep = make_sharded_train_step(model, opt, mesh, shardings,
+                                    donate=False, use_time_mask=True)
+    xs, ys, ms = shard_batch(x, y, mesh, time_mask=mask)
+    losses = []
+    for _ in range(3):
+        state, m = sstep(state, xs, ys, ms)
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-4, atol=1e-5)
 
 
 def test_sharded_eval_matches():

@@ -287,7 +287,7 @@ class TestCheckedStep:
         assert int(ts2.step) == 1
 
     def test_label_out_of_range_trips(self, rng):
-        from jax._src.checkify import JaxRuntimeError
+        from jax.experimental.checkify import JaxRuntimeError
 
         step, ts, x, y = self._setup(rng)
         bad = y.at[0].set(99)
@@ -295,7 +295,7 @@ class TestCheckedStep:
             step(ts, x, bad)
 
     def test_nonfinite_input_trips(self, rng):
-        from jax._src.checkify import JaxRuntimeError
+        from jax.experimental.checkify import JaxRuntimeError
 
         step, ts, x, y = self._setup(rng)
         bad = x.at[0, 0, 0, 0].set(np.nan)
