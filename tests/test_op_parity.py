@@ -360,3 +360,118 @@ class TestGradientParity:
             np.testing.assert_allclose(
                 np.asarray(g), flat_want[key], rtol=1e-8, atol=1e-10,
                 err_msg=f"gradient mismatch at {key}")
+
+
+class TestAdamTrajectoryParity:
+    """Multi-step optimizer parity vs the reference's configure_optimizers
+    (src/lightning_model.py:196-197): torch.optim.Adam and optax.adam share
+    the update rule (bias-corrected moments, eps outside the sqrt), so from
+    identical imported init the float64 loss trajectories must agree to
+    reduction-order noise over hundreds of steps.  This is the piece gradient
+    parity alone does not cover: moment accumulation, bias correction, BN
+    running-stat evolution and their feedback into subsequent steps.
+    """
+
+    def test_200_step_loss_trajectory(self, reference_modules, A_ref, rng,
+                                      f64_reference):
+        import optax
+
+        gc = reference_modules["graphconv"]
+        K = A_ref.shape[0]
+        gamma = 9
+
+        # A 2-block stack of the reference's OWN blocks (full 10-block f64
+        # training is minutes-per-run on CPU; forward/grad parity of the full
+        # stack is proven by TestFullNetworkParity/TestGradientParity — what
+        # this test adds is the optimizer semantics over many steps, and the
+        # reference block + torch Adam carry all of those).
+        class TinyRef(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                A = torch.from_numpy(A_ref)
+                self.conv = torch.nn.Sequential(
+                    gc.SpatialTemporalConv(2, 8, A, gamma, 1,
+                                           (gamma - 1) // 2,
+                                           dropout_rate=0, residual=False),
+                    gc.SpatialTemporalConv(8, 16, A, gamma, 2,
+                                           (gamma - 1) // 2,
+                                           dropout_rate=0, residual=False),
+                )
+                self.fc_layer = torch.nn.Linear(16, 6)
+
+            def forward(self, x):  # (N, C, T, V) like the reference stack
+                x = self.conv(x)
+                x = torch.nn.functional.avg_pool2d(
+                    x, (x.shape[2], x.shape[3])).flatten(1)
+                return self.fc_layer(x)
+
+        ref = TinyRef().double()
+        ref.train(True)
+        sd = {k: v.clone() for k, v in ref.state_dict().items()}
+
+        steps, lr = 200, 1e-3
+        n, t = 4, 32
+        # a tiny 3-batch synthetic dataset, cycled — so the trajectory sees
+        # repeated data (moment memory matters) but not a single fixed batch
+        batches = [(rng.standard_normal((n, t, 25, 2)),
+                    rng.integers(0, 6, n)) for _ in range(3)]
+
+        opt_t = torch.optim.Adam(ref.parameters(), lr=lr)
+        want = []
+        for i in range(steps):
+            x, y = batches[i % 3]
+            opt_t.zero_grad()
+            # plain cross-entropy on logits — the Lightning model's training
+            # loss (src/lightning_model.py:202)
+            loss = torch.nn.functional.cross_entropy(
+                ref(torch.from_numpy(_from_ours_layout(x))),
+                torch.from_numpy(y))
+            loss.backward()
+            opt_t.step()
+            want.append(float(loss))
+
+        cfg = STGCNConfig(plan=((8, 1), (16, 2)),
+                          strategy=adj.Strategy.DISTANCE, d=2,
+                          norm_mode="reference", adjacency_mode="reference",
+                          dtype=jnp.float64)
+        model = STGCN(cfg)
+        params, state = import_state_dict(sd, num_blocks=2, num_partitions=K)
+        params = jax.tree.map(jnp.asarray, params)
+        state = jax.tree.map(jnp.asarray, state)
+        opt = optax.adam(lr)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def train_step(params, state, opt_state, x, y):
+            def loss_fn(p):
+                logits, new_state = model.apply(p, state, x, train=True,
+                                                precision=HI)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.mean(jnp.take_along_axis(
+                    logp, y[:, None], axis=-1))
+                return nll, new_state
+
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_state, \
+                opt_state, loss
+
+        got = []
+        for i in range(steps):
+            x, y = batches[i % 3]
+            params, state, opt_state, loss = train_step(
+                params, state, opt_state, jnp.asarray(x), jnp.asarray(y))
+            got.append(float(loss))
+
+        # Identical update rules diverge eventually even in float64: the
+        # training map is chaotic, and reduction-order noise (~1e-16) grows
+        # exponentially through Adam's sqrt(nu) denominators.  What separates
+        # "same optimizer" from "different optimizer" is WHEN: a semantic
+        # difference (eps placement, bias correction) shows up in step 2 at
+        # ~1e-3; reduction noise needs >100 steps to surface above 1e-7.
+        np.testing.assert_allclose(got[:120], want[:120],
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=1e-4)
+        # the trajectory must actually move for this to be a real test
+        assert abs(want[-1] - want[0]) > 0.5
