@@ -115,19 +115,103 @@ def bench_cpu_mesh(mesh_sizes=(1, 2, 4, 8), batch=32, t=64) -> None:
         }), flush=True)
 
 
+_COLLECTIVE_OPS = ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all")
+
+
+def _shape_bytes(shape: str) -> int:
+    """Bytes of an HLO result shape string like 'f32[2,16,25,8]' or a tuple
+    '(f32[8], f32[8])'."""
+    import re
+
+    total = 0
+    for dt, dims in re.findall(r"(f64|f32|bf16|f16|s32|u32|s64|u64|s8|u8|pred)"
+                               r"\[([0-9,]*)\]", shape):
+        itemsize = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4,
+                    "u32": 4, "bf16": 2, "f16": 2, "s8": 1, "u8": 1,
+                    "pred": 1}[dt]
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * itemsize
+    return total
+
+
+def count_collectives(mesh_shape=(2, 2, 2), batch=8, t=32) -> None:
+    """Compile the sharded train step and report per-type collective bytes.
+
+    The per-device payload each collective moves per step, from the
+    partitioned HLO — the scaling-efficiency denominator (BASELINE.json
+    north star: collective cost must stay under ~20% of step time)."""
+    import collections
+    import re
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import optax
+
+    from stgcn_tpu.data.synthetic import random_batch
+    from stgcn_tpu.graph.adjacency import Strategy
+    from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+    from stgcn_tpu.parallel.mesh import make_mesh
+    from stgcn_tpu.parallel.train import (
+        create_sharded_train_state,
+        make_sharded_train_step,
+        shard_batch,
+    )
+
+    model = STGCN(STGCNConfig(
+        plan=((16, 1), (32, 2)), strategy=Strategy.DISTANCE, d=1,
+        dropout_rate=0.1, residual=True))
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(*mesh_shape)
+    state, shardings = create_sharded_train_state(model, opt, mesh, seed=0)
+    step = make_sharded_train_step(model, opt, mesh, shardings, donate=False)
+    x, y = random_batch(np.random.default_rng(0), batch, t)
+    xs, ys = shard_batch(np.asarray(x), np.asarray(y), mesh)
+    hlo = step.lower(state, xs, ys).compile().as_text()
+
+    counts = collections.Counter()
+    bytes_per = collections.Counter()
+    for line in hlo.splitlines():
+        m = re.match(r"\s*(?:ROOT )?%?[\w.-]+ = (\([^)]*\)|\S+) "
+                     r"([\w-]+)(?:-start)?\(", line)
+        if not m:
+            continue
+        shape, op = m.groups()
+        base = op.replace("-start", "")
+        if base in _COLLECTIVE_OPS:
+            counts[base] += 1
+            bytes_per[base] += _shape_bytes(shape)
+    print(json.dumps({
+        "mode": "collective_bytes", "mesh": list(mesh_shape),
+        "batch": batch, "t": t,
+        "ops": {k: {"count": counts[k], "bytes_per_device_per_step": v}
+                for k, v in sorted(bytes_per.items())},
+        "total_bytes_per_device_per_step": sum(bytes_per.values()),
+    }, indent=None), flush=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-mesh", action="store_true")
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--collectives", action="store_true",
+                    help="count collective bytes in the compiled 2x2x2 HLO")
     args = ap.parse_args()
-    if args.cpu_mesh == args.tpu:
-        ap.error("pick exactly one mode: --tpu or --cpu-mesh")
-    if args.cpu_mesh:
+    if sum((args.cpu_mesh, args.tpu, args.collectives)) != 1:
+        ap.error("pick exactly one mode: --tpu, --cpu-mesh or --collectives")
+    if args.cpu_mesh or args.collectives:
         os.environ.setdefault(
             "XLA_FLAGS",
             (os.environ.get("XLA_FLAGS", "") +
              " --xla_force_host_platform_device_count=8").strip())
+    if args.cpu_mesh:
         bench_cpu_mesh()
+    elif args.collectives:
+        count_collectives()
     else:
         bench_tpu()
     return 0

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Tiny Mosaic layout probes: which (bt, V, C) -> (bt*V, C) merges compile.
+
+The bf16 temporal-conv kernel died with `infer-vector-layout: unsupported
+shape cast vector<152x25x64xbf16> -> vector<3800x64xbf16>` (stage-2 log,
+2026-08-18).  Hypothesis: merging the leading dim into the sublane dim is
+only supported when the sublane extent is a multiple of the native sublane
+tile (8 for f32 — why V=25 happened to work there via relayout — 16 for
+bf16).  Each probe is one pallas_call doing the 3-D dot the kernel does.
+
+Run: python scripts/tpu_mosaic_probe.py  (one TPU process, ~4 compiles)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def probe(bt: int, v: int, c: int, dtype) -> str:
+    def kernel(x_ref, w_ref, o_ref):
+        acc = jax.lax.dot_general(
+            x_ref[:], w_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((bt, v, c)),
+                    dtype)
+    w = jnp.asarray(np.random.default_rng(1).standard_normal((c, c)), dtype)
+    try:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bt, v, c), dtype),
+        )(x, w)
+        want = jnp.einsum("bvc,cd->bvd", x.astype(jnp.float32),
+                          w.astype(jnp.float32))
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - want)))
+        return f"OK err={err:.2e}"
+    except Exception as e:  # noqa: BLE001 - report and continue probing
+        msg = str(e).splitlines()[0][:120]
+        return f"FAIL {type(e).__name__}: {msg}"
+
+
+if __name__ == "__main__":
+    cases = [
+        (152, 25, 64, jnp.bfloat16),   # the failing production shape
+        (152, 32, 64, jnp.bfloat16),   # V padded to 2x sublane tile
+        (152, 16, 64, jnp.bfloat16),   # V = exactly one sublane tile
+        (152, 32, 128, jnp.bfloat16),  # wider C
+        (152, 25, 64, jnp.float32),    # control: known-good f32
+    ]
+    for bt, v, c, dt in cases:
+        print(f"bt={bt} v={v} c={c} {jnp.dtype(dt).name}: "
+              f"{probe(bt, v, c, dt)}", flush=True)

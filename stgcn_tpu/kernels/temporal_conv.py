@@ -56,6 +56,23 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _sublane_pad(v: int, itemsize: int) -> int:
+    """Joint-dim extent the kernels run at.
+
+    The per-tap matmuls merge the leading time dim into the sublane joint
+    dim ((bt, V, C) -> (bt*V, C)); Mosaic compiles that merge for f32 at any
+    V (relayout) but for 16-bit dtypes only when V is a multiple of the
+    native sublane tile 16 (measured on v5e — scripts/tpu_mosaic_probe.py:
+    V=25 bf16 'unsupported shape cast', V=16/32 OK).  So 16-bit inputs run
+    with V zero-padded to the next multiple of 16; the pad is fused into
+    the surrounding XLA pad/slice and the zero rows contribute nothing to
+    any of fwd/dx/dw.
+    """
+    if itemsize == 2 and v % 16:
+        return v + (-v) % 16
+    return v
+
+
 def _pick_bt(t_out: int, v: int, c_in: int, c_out: int, stride: int,
              gamma: int, itemsize: int) -> int:
     """Largest time-tile whose working set fits in VMEM; prefers exact
@@ -124,15 +141,16 @@ def _fwd_kernel(x0_ref, x1_ref, w_ref, b_ref, out_ref, x_cat, acc_ref, *,
 def _fwd_call(x, w, b, *, stride: int, padding: int, bt: int,
               interpret: bool, precision=None):
     """x: (N, T, V, C_in) unpadded; returns (N, T_out, V, C_out)."""
-    n, t, v, c_in = x.shape
+    n, t, v0, c_in = x.shape
     gamma, _, c_out = w.shape
+    v = _sublane_pad(v0, jnp.dtype(x.dtype).itemsize)
     t_out = (t + 2 * padding - gamma) // stride + 1
     nb = _cdiv(t_out, bt)
     bts = bt * stride
     # left pad = conv padding; right pad so blocks 0..nb (incl. the i+1
     # neighbor of the last tile) exist
     xp = jnp.pad(x, [(0, 0), (padding, (nb + 1) * bts - t - padding),
-                     (0, 0), (0, 0)])
+                     (0, v - v0), (0, 0)])
     kernel = functools.partial(_fwd_kernel, gamma=gamma, stride=stride,
                                bt=bt, precision=precision)
     flops = 2 * n * t_out * v * gamma * c_in * c_out
@@ -162,7 +180,9 @@ def _fwd_call(x, w, b, *, stride: int, padding: int, bt: int,
             transcendentals=0),
         interpret=interpret,
     )(xp, xp, w, b.reshape(1, c_out))
-    return out[:, :t_out] if nb * bt != t_out else out
+    if nb * bt != t_out or v != v0:
+        out = out[:, :t_out, :v0]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -198,8 +218,9 @@ def _make_dx_kernel(gamma: int, stride: int, bu: int, pad_l: int,
 def _dx_call(dy, w, *, stride: int, padding: int, t_in: int, bu: int,
              interpret: bool, precision=None):
     """dy: (N, T_out, V, C_out) -> dx: (N, T_in, V, C_in)."""
-    n, t_out, v, c_out = dy.shape
+    n, t_out, v0, c_out = dy.shape
     gamma, c_in, _ = w.shape
+    v = _sublane_pad(v0, jnp.dtype(dy.dtype).itemsize)
     # wt[g] = w[g].T so the kernel contracts over C_out
     wt = jnp.swapaxes(w, 1, 2)                       # (gamma, C_out, C_in)
     nb = _cdiv(t_in, bu)
@@ -210,7 +231,7 @@ def _dx_call(dy, w, *, stride: int, padding: int, t_in: int, bu: int,
         raise ValueError(f"dx tile too small: bu={bu} stride={stride} "
                          f"gamma={gamma} padding={padding}")
     dyp = jnp.pad(dy, [(0, 0), (pad_l, (nb + 1) * bq - t_out - pad_l),
-                       (0, 0), (0, 0)])
+                       (0, v - v0), (0, 0)])
     kernel = _make_dx_kernel(gamma, stride, bu, pad_l, padding, precision)
     flops = 2 * n * t_out * v * gamma * c_in * c_out
     dx = pl.pallas_call(
@@ -237,7 +258,9 @@ def _dx_call(dy, w, *, stride: int, padding: int, t_in: int, bu: int,
             transcendentals=0),
         interpret=interpret,
     )(dyp, dyp, wt)
-    return dx[:, :t_in] if nb * bu != t_in else dx
+    if nb * bu != t_in or v != v0:
+        dx = dx[:, :t_in, :v0]
+    return dx
 
 
 # ---------------------------------------------------------------------------
@@ -285,14 +308,15 @@ def _make_dw_kernel(gamma: int, stride: int, bt: int, t_out: int,
 def _dw_call(x, dy, *, gamma: int, stride: int, padding: int, bt: int,
              interpret: bool, precision=None):
     """x: (N, T, V, C_in), dy: (N, T_out, V, C_out) -> (gamma, C_in, C_out)."""
-    n, t, v, c_in = x.shape
+    n, t, v0, c_in = x.shape
     t_out, c_out = dy.shape[1], dy.shape[3]
+    v = _sublane_pad(v0, jnp.dtype(x.dtype).itemsize)
     nb = _cdiv(t_out, bt)
     bts = bt * stride
     xp = jnp.pad(x, [(0, 0), (padding, (nb + 1) * bts - t - padding),
-                     (0, 0), (0, 0)])
-    dyp = (jnp.pad(dy, [(0, 0), (0, nb * bt - t_out), (0, 0), (0, 0)])
-           if nb * bt != t_out else dy)
+                     (0, v - v0), (0, 0)])
+    dyp = (jnp.pad(dy, [(0, 0), (0, nb * bt - t_out), (0, v - v0), (0, 0)])
+           if nb * bt != t_out or v != v0 else dy)
     kernel = _make_dw_kernel(gamma, stride, bt, t_out, precision)
     flops = 2 * n * t_out * v * gamma * c_in * c_out
     dw = pl.pallas_call(
@@ -348,8 +372,9 @@ def _resolve(x, w, stride, padding, bt):
     padding = (gamma - 1) // 2 if padding is None else padding
     t_out = (x.shape[1] + 2 * padding - gamma) // stride + 1
     if bt is None:
-        bt = _pick_bt(t_out, x.shape[2], w.shape[1], w.shape[2], stride,
-                      gamma, jnp.dtype(x.dtype).itemsize)
+        itemsize = jnp.dtype(x.dtype).itemsize
+        bt = _pick_bt(t_out, _sublane_pad(x.shape[2], itemsize),
+                      w.shape[1], w.shape[2], stride, gamma, itemsize)
     return gamma, padding, t_out, bt
 
 

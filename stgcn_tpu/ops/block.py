@@ -126,6 +126,17 @@ def block_forward(
     new_state = dict(state)
     c = constrain if constrain is not None else (lambda h, tag: h)
 
+    if callable(temporal_impl):
+        # an externally built conv (e.g. the shard_map halo-exchange conv,
+        # stgcn_tpu.parallel.halo) — it owns precision/dtype handling
+        def apply_temporal(h):
+            return temporal_impl(params["temporal"], h, stride=stride)
+    else:
+        def apply_temporal(h):
+            return temporal_conv(params["temporal"], h, stride=stride,
+                                 precision=precision, impl=temporal_impl,
+                                 compute_dtype=compute_dtype)
+
     if spatial_impl == "pallas":
         from stgcn_tpu.kernels.spatial_conv import spatial_conv_fused
 
@@ -152,9 +163,7 @@ def block_forward(
         h, new_state["bn2"] = batchnorm(
             params["bn2"], state["bn2"], h, train=train, axis_names=bn_axis_names)
         h = jax.nn.relu(h)
-        h = c(temporal_conv(params["temporal"], h, stride=stride,
-                            precision=precision, impl=temporal_impl,
-                            compute_dtype=compute_dtype), "block_out")
+        h = c(apply_temporal(h), "block_out")
         if "residual_proj" in params:
             shortcut = pointwise_conv(params["residual_proj"], res, stride=stride,
                                       precision=precision)
@@ -165,9 +174,7 @@ def block_forward(
         h, new_state["bn1"] = batchnorm(
             params["bn1"], state["bn1"], x, train=train, axis_names=bn_axis_names)
         h = c(apply_spatial(h), "spatial_out")
-        h = c(temporal_conv(params["temporal"], h, stride=stride,
-                            precision=precision, impl=temporal_impl,
-                            compute_dtype=compute_dtype), "block_out")
+        h = c(apply_temporal(h), "block_out")
         out, new_state["bn2"] = batchnorm(
             params["bn2"], state["bn2"], h, train=train, axis_names=bn_axis_names)
 

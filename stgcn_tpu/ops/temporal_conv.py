@@ -96,6 +96,8 @@ def temporal_conv(
         return _temporal_conv_shift_sum(params, x, stride=stride,
                                         padding=padding, precision=precision,
                                         compute_dtype=compute_dtype)
+    if impl != "conv":
+        raise ValueError(f"unknown temporal_impl {impl!r}")
     w = params["w"]
     if compute_dtype is not None:
         # the conv grad rule rejects mixed input/preferred dtypes, so run the

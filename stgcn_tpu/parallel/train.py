@@ -90,22 +90,38 @@ def create_sharded_train_state(
 def select_temporal_impl(mesh: Mesh, configured: str = "conv") -> str:
     """Pick the temporal-conv implementation for a given mesh.
 
-    ``lax.conv_general_dilated``'s GSPMD backward double-counts upstream
-    gradients only when the window axis (``time``) and the channel axis
-    (``model``) are BOTH sharded (observed: exactly 2x on bn grads for
-    time>1 x model>1 meshes; see CLAUDE.md).  Every other mesh shape runs
-    the fast conv path; the combined shape falls back to the numerically
-    identical ``shift_sum`` formulation whose backward partitions correctly.
+    Any time-sharded mesh uses ``"halo"``: the explicit shard_map ppermute
+    halo exchange (parallel/halo), whose per-shard VJP sidesteps the GSPMD
+    conv-backward double-count bug (time>1 x model>1; CLAUDE.md) by
+    construction and runs the configured single-device impl locally —
+    including the fused Pallas kernel, which GSPMD cannot partition.
 
-    The Pallas kernel is not GSPMD-partitionable across these meshes (it
-    plugs in via shard_map halo exchange instead — parallel/halo), so a
-    configured ``pallas`` degrades to ``conv`` here.
+    Time-unsharded meshes run the plain GSPMD path with the configured impl
+    (a configured ``pallas`` degrades to ``conv`` there, since pallas_call
+    has no SPMD partitioning rule; use time sharding to keep it).
     """
-    if mesh.shape[mesh_lib.AXIS_TIME] > 1 and mesh.shape[mesh_lib.AXIS_MODEL] > 1:
-        return "shift_sum"
+    if mesh.shape[mesh_lib.AXIS_TIME] > 1:
+        return "halo"
     if configured in ("pallas", "pallas_interpret"):
         return "conv"
     return configured
+
+
+def _resolve_temporal_impl(mesh: Mesh, model, *, precision,
+                           shard_joints: bool):
+    """The value block_forward receives: an impl string, or the halo-conv
+    callable for time-sharded meshes."""
+    impl = select_temporal_impl(mesh, model.config.temporal_impl)
+    if impl != "halo":
+        return impl
+    from stgcn_tpu.parallel.halo import make_halo_temporal_conv
+
+    inner = model.config.temporal_impl
+    if inner == "shift_sum":
+        inner = "conv"  # the fallback exists for the GSPMD bug; local
+        # per-shard convs don't have it
+    return make_halo_temporal_conv(mesh, shard_joints=shard_joints,
+                                   inner_impl=inner, precision=precision)
 
 
 def make_sharded_train_step(
@@ -123,7 +139,8 @@ def make_sharded_train_step(
     m_sh = NamedSharding(mesh, mesh_lib.time_mask_spec())
     rep = mesh_lib.replicated(mesh)
     constrain = mesh_lib.activation_constrainer(mesh, shard_joints)
-    temporal_impl = select_temporal_impl(mesh, model.config.temporal_impl)
+    temporal_impl = _resolve_temporal_impl(mesh, model, precision=precision,
+                                           shard_joints=shard_joints)
 
     def step(ts: TrainState, x: jax.Array, y: jax.Array,
              time_mask: jax.Array | None = None):
@@ -164,7 +181,8 @@ def make_sharded_eval_step(model, mesh: Mesh, shardings: TrainState,
     num_classes = model.config.num_classes
     constrain = mesh_lib.activation_constrainer(mesh, shard_joints)
 
-    temporal_impl = select_temporal_impl(mesh, model.config.temporal_impl)
+    temporal_impl = _resolve_temporal_impl(mesh, model, precision=precision,
+                                           shard_joints=shard_joints)
 
     def step(ts: TrainState, x: jax.Array, y: jax.Array):
         logits, _ = model.apply(ts.params, ts.model_state, x, train=False,

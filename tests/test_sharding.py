@@ -42,11 +42,12 @@ def model_for(**kw):
 def _first_step_grads(model, x, y, mesh=None):
     """Loss gradient of the initial state, optionally under a mesh."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from stgcn_tpu.parallel.train import select_temporal_impl
+    from stgcn_tpu.parallel.train import _resolve_temporal_impl
     from stgcn_tpu.training import metrics as M
 
     opt = optax.adam(1e-3)
-    impl = "conv" if mesh is None else select_temporal_impl(mesh, "conv")
+    impl = "conv" if mesh is None else _resolve_temporal_impl(
+        mesh, model, precision=None, shard_joints=False)
 
     def make_loss_fn(constrain):
         def loss_fn(params, mstate, x, y):
@@ -121,18 +122,20 @@ def test_sharded_matches_single_device(mesh_shape):
 
 
 def test_select_temporal_impl():
-    """The shift_sum fallback fires only on the actual XLA bug condition
-    (time>1 AND model>1 — conv backward double-counts there); every other
-    mesh keeps the fast conv path (VERDICT r1 item 3)."""
+    """Time-sharded meshes use the explicit shard_map halo exchange (whose
+    per-shard VJP sidesteps the GSPMD conv-backward double-count bug);
+    time-unsharded meshes keep the fast GSPMD conv path (VERDICT r1 item 3)."""
     from stgcn_tpu.parallel.train import select_temporal_impl
     assert select_temporal_impl(make_mesh(8, 1, 1)) == "conv"
-    assert select_temporal_impl(make_mesh(1, 8, 1)) == "conv"
     assert select_temporal_impl(make_mesh(1, 1, 8)) == "conv"
-    assert select_temporal_impl(make_mesh(2, 2, 1)) == "conv"
-    assert select_temporal_impl(make_mesh(1, 2, 2)) == "shift_sum"
-    assert select_temporal_impl(make_mesh(2, 2, 2)) == "shift_sum"
-    # pallas is shard_map-only; it degrades to conv under GSPMD
-    assert select_temporal_impl(make_mesh(2, 2, 1), "pallas") == "conv"
+    assert select_temporal_impl(make_mesh(1, 8, 1)) == "halo"
+    assert select_temporal_impl(make_mesh(2, 2, 1)) == "halo"
+    assert select_temporal_impl(make_mesh(1, 2, 2)) == "halo"
+    assert select_temporal_impl(make_mesh(2, 2, 2)) == "halo"
+    # pallas has no GSPMD partitioning rule: it degrades to conv without
+    # time sharding, and runs as the shard_map-local impl with it
+    assert select_temporal_impl(make_mesh(8, 1, 1), "pallas") == "conv"
+    assert select_temporal_impl(make_mesh(2, 2, 1), "pallas") == "halo"
     assert select_temporal_impl(make_mesh(8, 1, 1), "block") == "block"
 
 
