@@ -52,7 +52,60 @@ def probe(bt: int, v: int, c: int, dtype) -> str:
         return f"FAIL {type(e).__name__}: {msg}"
 
 
+def probe_op(name: str, fn, arrs) -> str:
+    """Compile+run a kernel body `fn(*refs_values) -> value` on TPU."""
+    def kernel(*refs):
+        out_ref = refs[-1]
+        out_ref[:] = fn(*[r[:] for r in refs[:-1]]).astype(out_ref.dtype)
+
+    try:
+        want = fn(*arrs)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(want.shape, arrs[0].dtype),
+        )(*arrs)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                    - want.astype(jnp.float32))))
+        return f"OK err={err:.2e}"
+    except Exception as e:  # noqa: BLE001
+        return f"FAIL {type(e).__name__}: {str(e).splitlines()[0][:90]}"
+
+
+def _rand(shape, dtype):
+    return jnp.asarray(
+        np.random.default_rng(0).standard_normal(shape), dtype)
+
+
+def main_spatial() -> None:
+    """Primitive patterns the fused spatial kernels need (fwd + bwd)."""
+    for dt in (jnp.float32, jnp.bfloat16):
+        nm = jnp.dtype(dt).name
+        for c in (64, 128, 256):
+            x = _rand((25, 128, c), dt)
+            print(f"lane_merge v=25 tm=128 c={c} {nm}: "
+                  f"{probe_op('lm', lambda a: a.reshape(25, 128 * a.shape[-1]), [x])}",
+                  flush=True)
+        x = _rand((128, 32, 64), dt)
+        print(f"transpose (128,32,64)->(32,128,64) {nm}: "
+              f"{probe_op('tr', lambda a: a.transpose(1, 0, 2), [x])}",
+              flush=True)
+        g = _rand((32, 128 * 64), dt)
+        z = _rand((32, 128 * 64), dt)
+        print(f"lane_contract (32,8192)x(32,8192)->(32,32) {nm}: "
+              f"{probe_op('lc', lambda a, b: jax.lax.dot_general(a, b, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32), [g, z])}",
+              flush=True)
+        # fwd stage-2 as used today: (V,V) @ (V, TM*C)
+        a = _rand((32, 32), dt)
+        y = _rand((32, 128 * 64), dt)
+        print(f"agg_matmul (32,32)x(32,8192) {nm}: "
+              f"{probe_op('am', lambda p, q: jax.lax.dot_general(p, q, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=jnp.float32), [a, y])}",
+              flush=True)
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "spatial":
+        main_spatial()
+        sys.exit(0)
     cases = [
         (152, 25, 64, jnp.bfloat16),   # the failing production shape
         (152, 32, 64, jnp.bfloat16),   # V padded to 2x sublane tile

@@ -1,22 +1,33 @@
-"""Pallas TPU kernel: fused partitioned spatial graph convolution.
+"""Pallas TPU kernel: fused partitioned spatial graph convolution (fwd + bwd).
 
 Computes the reference op (src/network/st_graphconv.py:139-151)
 
     out[m, v, o] = sum_{k,w} A[k, v, w] * (x[m, w, :] @ W[:, k, :] + b[k, :])[o]
 
-in one kernel pass.  The XLA path (stgcn_tpu.ops.spatial_conv) materializes
-the ``(M, V, K*C_out)`` expansion in HBM between its two einsums — a K-times
-larger intermediate than the input.  Here the expansion lives only in VMEM:
-each grid step loads a ``(TM, V, C_in)`` row tile, runs the channel matmul on
-the MXU, aggregates over the K partition matrices in-register, and writes the
-``(TM, V, C_out)`` result — eliminating the HBM round trip entirely.
+in one kernel pass per tile.  The XLA path (stgcn_tpu.ops.spatial_conv)
+materializes the ``(M, V, K, C_out)`` expansion in HBM between its two
+einsums — a K-times-larger intermediate than the input, and the single
+largest contributor to the measured single-chip step profile (the
+``(64,T,25,2,C)`` fusions; see CLAUDE.md perf map).  Here the expansion
+lives only in VMEM: each grid step loads a ``(TM, V, C_in)`` row tile, runs
+the per-partition channel matmul on the MXU, aggregates over the K partition
+matrices in-register, and writes the ``(TM, V, C_out)`` result.  The
+backward is a second fused kernel of the same tiling that produces dx and
+accumulates dw/db/da in VMEM-resident outputs — no HBM intermediate on
+either side.
 
-The 25-joint graph is tiny, so "sparsity" buys nothing on-chip: each A_k is
-one dense (V, V) tile, and the aggregation is K small matmuls batched over
-the row tile (SURVEY.md §7 hard part b).
+Mosaic layout rules this code is built around (measured on v5e,
+scripts/tpu_mosaic_probe.py):
 
-Backward is composed of the same structure (see ``_bwd``) and registered via
-``custom_vjp`` so the fused op differentiates inside jitted training steps.
+* sublane merge ``(TM, V, C) -> (TM*V, C)``: any V for f32, V % 16 == 0 for
+  bf16 — so 16-bit inputs run with V zero-padded to 32 (host side);
+* lane merge ``(V, TM, C) -> (V, TM*C)``: requires C % 128 == 0 for BOTH
+  dtypes — so all in-kernel channel math runs at ``cp = roundup(C_out,
+  128)``, padded through the (tiny) weights on the host, or through a
+  zero-padding MATRIX matmul for the incoming gradient (an MXU pass instead
+  of an unsupported relayout);
+* ``transpose(1, 0, 2)`` relayouts and lane x lane / sublane x sublane
+  contractions all compile.
 """
 
 from __future__ import annotations
@@ -28,85 +39,76 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from stgcn_tpu.kernels.temporal_conv import _sublane_pad
 
-def _fwd_kernel(x_ref, w_ref, b_ref, a_ref, out_ref, *, num_partitions: int):
-    """One (TM, V, C_in) tile -> (TM, V, C_out).
 
-    Layout discipline for Mosaic: the lane (minor) dimension is only ever
-    C_in/C_out or a contiguous collapse that keeps it minor — no reshapes
-    that split or merge across the lane boundary (e.g. (K, C_out) ->
-    (1, K*C_out) is an unsupported layout cast on TPU).
-    """
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _lane_pad(c: int) -> int:
+    """Channel extent used for in-kernel lane merges (C % 128 rule)."""
+    return max(128, c + (-c) % 128)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, a_ref, out_ref, *, num_partitions: int,
+                precision=None):
+    """One (TM, V, C_in) tile -> (TM, V, C_out); channel math at cp lanes."""
     tm, v, c_in = x_ref.shape
     c_out = out_ref.shape[-1]
+    cp = w_ref.shape[-1]
     k = num_partitions
 
-    x2d = x_ref[:].reshape(tm * v, c_in)           # contiguous collapse
-    acc = jnp.zeros((v, tm * c_out), jnp.float32)
+    x2d = x_ref[:].reshape(tm * v, c_in)           # sublane merge
+    acc = jnp.zeros((v, tm * cp), jnp.float32)
     for kk in range(k):
-        # Stage 1 on the MXU: (TM*V, C_in) @ (C_in, C_out) per partition.
+        # Stage 1 on the MXU: (TM*V, C_in) @ (C_in, cp) per partition.
         y_k = jax.lax.dot_general(
             x2d, w_ref[kk],
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
             preferred_element_type=jnp.float32,
         )
-        y_k = y_k + b_ref[kk]                      # (1, C_out) broadcast
-        # (TM, V, C_out) -> (V, TM, C_out) sublane shuffle, then collapse.
-        y_kt = y_k.reshape(tm, v, c_out).transpose(1, 0, 2)
-        # Stage 2: neighborhood aggregation (V, V) @ (V, TM*C_out).
-        acc = acc + jax.lax.dot_general(
-            a_ref[kk], y_kt.reshape(v, tm * c_out),
+        y_k = (y_k + b_ref[kk]).astype(x_ref.dtype)  # (1, cp) broadcast
+        # (TM, V, cp) -> (V, TM, cp) relayout, then lane merge (cp%128==0).
+        y_kt = y_k.reshape(tm, v, cp).transpose(1, 0, 2)
+        # Stage 2: neighborhood aggregation (V, V) @ (V, TM*cp).
+        acc += jax.lax.dot_general(
+            a_ref[kk], y_kt.reshape(v, tm * cp),
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
             preferred_element_type=jnp.float32,
         )
-    out = acc.reshape(v, tm, c_out).transpose(1, 0, 2)
-    out_ref[:] = out.astype(out_ref.dtype)
+    out = acc.reshape(v, tm, cp).transpose(1, 0, 2)
+    out_ref[:] = out[:, :, :c_out].astype(out_ref.dtype)
 
 
-def _fwd_call(x2, w2, b2, a, *, tm: int, interpret: bool):
-    """x2: (M, V, C_in); w2: (K, C_in, C_out); b2: (K, 1, C_out)."""
-    m, v, c_in = x2.shape
-    k, _, c_out = w2.shape
-    grid = (m // tm,)
-    kernel = functools.partial(_fwd_kernel, num_partitions=k)
-    flops = 2 * m * v * c_in * k * c_out + 2 * m * k * v * v * c_out
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, v, c_in), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, c_in, c_out), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 1, c_out), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, v, v), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, v, c_out), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, v, c_out), x2.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=x2.size * 4 + m * v * c_out * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(x2, w2, b2, a)
-
-
-def _pick_tile(m: int, v: int, c_in: int, c_out: int, k: int) -> int:
+def _pick_tile(m: int, v: int, c_in: int, cp: int, k: int,
+               itemsize: int) -> int:
     """Largest row tile whose working set fits comfortably in VMEM."""
-    budget = 10 * 1024 * 1024  # leave headroom of the ~16MB VMEM
-    fixed = 4 * (c_in * k * c_out + k * c_out + k * v * v)
+    budget = 9 * 1024 * 1024
+    fixed = 4 * k * (c_in * cp + cp + v * v)
     for tm in (512, 256, 128, 64, 32, 16, 8):
-        per_row = 4 * v * (c_in + 2 * k * c_out + 2 * c_out)
+        per_row = (
+            2 * v * c_in * itemsize      # x tile, double-buffered
+            + v * cp * 4                 # y_k f32
+            + v * cp * itemsize          # y_kt relayout copy
+            + v * cp * 4                 # acc f32
+            + 2 * v * cp * itemsize      # out tile, double-buffered
+        )
         if fixed + tm * per_row <= budget and m % tm == 0:
             return tm
     return 8 if m % 8 == 0 else 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def spatial_conv_fused(x, w, b, a, tm: int | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False, precision=None):
     """Fused spatial graph conv.
 
     Args:
@@ -117,59 +119,212 @@ def spatial_conv_fused(x, w, b, a, tm: int | None = None,
       tm: row-tile size override (rows = N*T); None = auto.
       interpret: run the kernel in interpreter mode (CPU tests).
     """
-    return _forward(x, w, b, a, tm, interpret)
+    return _forward(x, w, b, a, tm, interpret, precision)
 
 
-def _forward(x, w, b, a, tm, interpret):
-    n, t, v, c_in = x.shape
+def _prep(x, w, b, a):
+    """Host-side padding shared by fwd and bwd: V to the sublane rule,
+    channels to the lane rule (through the tiny weight tensors only)."""
+    n, t, v0, c_in = x.shape
     k, c_out = b.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    vp = _sublane_pad(v0, itemsize)
+    cp = _lane_pad(c_out)
     m = n * t
-    x2 = x.reshape(m, v, c_in)
-    w2 = w.transpose(1, 0, 2)          # (K, C_in, C_out)
-    b2 = b.reshape(k, 1, c_out)
-    tile = tm or _pick_tile(m, v, c_in, c_out, k)
+    x2 = x.reshape(m, v0, c_in)
+    if vp != v0:
+        x2 = jnp.pad(x2, [(0, 0), (0, vp - v0), (0, 0)])
+        a = jnp.pad(a, [(0, 0), (0, vp - v0), (0, vp - v0)])
+    w2 = jnp.pad(w.transpose(1, 0, 2), [(0, 0), (0, 0), (0, cp - c_out)])
+    b2 = jnp.pad(b.reshape(k, 1, c_out), [(0, 0), (0, 0), (0, cp - c_out)])
+    return x2, w2.astype(x.dtype), b2.astype(x.dtype), a.astype(x.dtype), \
+        (n, t, v0, c_in, vp, cp, m, k, c_out, itemsize)
+
+
+def _forward(x, w, b, a, tm, interpret, precision=None):
+    x2, w2, b2, a2, (n, t, v0, c_in, vp, cp, m, k, c_out, itemsize) = \
+        _prep(x, w, b, a)
+    tile = tm or _pick_tile(m, vp, c_in, cp, k, itemsize)
     if m % tile:
         tile = 1
-    out = _fwd_call(x2, w2, b2, a, tm=tile, interpret=interpret)
-    return out.reshape(n, t, v, c_out)
+    kernel = functools.partial(_fwd_kernel, num_partitions=k,
+                               precision=precision)
+    flops = 2 * m * vp * c_in * k * cp + 2 * m * k * vp * vp * cp
+    out = pl.pallas_call(
+        kernel,
+        grid=(m // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, vp, c_in), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, vp, vp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, vp, c_out), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, vp, c_out), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(x2.size + m * vp * c_out) * itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, w2, b2, a2)
+    if vp != v0:
+        out = out[:, :v0]
+    return out.reshape(n, t, v0, c_out)
 
 
-def _fwd_rule(x, w, b, a, tm, interpret):
-    return _forward(x, w, b, a, tm, interpret), (x, w, b, a)
+# ---------------------------------------------------------------------------
+# backward: one fused kernel -> dx tile + VMEM-resident dw/db/da accumulators
+# ---------------------------------------------------------------------------
 
 
-def _bwd_rule(tm, interpret, res, g):
-    """Backward composed from the same einsum structure.
+def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, a_ref, pad_ref,
+                dx_ref, dw_ref, db_ref, da_ref, *, num_partitions: int,
+                precision=None):
+    """Tile math (all accumulation f32, channel lanes at cp):
 
-    dL/dy[m,w,k,o] = sum_v A[k,v,w] g[m,v,o]         (aggregation transpose)
-    dL/dx = dL/dy . W^T ; dL/dW = x^T . dL/dy ; dL/db = sum dL/dy ;
-    dL/dA[k,v,w] = sum_m g[m,v,o] y[m,w,k,o].
+    t_k[w, m, o] = sum_v A_k[v, w] g[m, v, o]      (aggregation transpose)
+    dx[m, w, i] += t_k . W_k^T                     (MXU)
+    dw_k[i, o]  += x^T . t_k                       (sublane contraction)
+    db_k[o]     += sum_mw t_k
+    da_k[v, w]  += sum_mo g[m, v, o] (x @ W_k + b_k)[m, w, o]   (lane contr.)
     """
+    tm, v, c_in = x_ref.shape
+    c_out = g_ref.shape[-1]
+    cp = w_ref.shape[-1]
+    k = num_partitions
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    x2d = x_ref[:].reshape(tm * v, c_in)
+    # zero-pad g's lanes to cp with a matmul against [I; 0] — a cheap MXU
+    # pass where a (c_out -> cp) relayout would not compile
+    g2d = g_ref[:].reshape(tm * v, c_out)
+    gp = jax.lax.dot_general(
+        g2d, pad_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32).astype(g_ref.dtype)
+    # (V, TM*cp) merged transpose of the padded gradient
+    g_t = gp.reshape(tm, v, cp).transpose(1, 0, 2).reshape(v, tm * cp)
+
+    dx_acc = jnp.zeros((tm * v, c_in), jnp.float32)
+    for kk in range(k):
+        # t_k = A_k^T-aggregated gradient, merged (V, TM*cp)
+        t_k = jax.lax.dot_general(
+            a_ref[kk], g_t,
+            dimension_numbers=(((0,), (0,)), ((), ())),   # sum over source v
+            precision=precision,
+            preferred_element_type=jnp.float32).astype(g_ref.dtype)
+        t2d = t_k.reshape(v, tm, cp).transpose(1, 0, 2).reshape(tm * v, cp)
+        # dx += t_k @ W_k^T   ((TM*V, cp) @ (cp, C_in))
+        dx_acc += jax.lax.dot_general(
+            t2d, w_ref[kk],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32)
+        # dw_k += x^T @ t_k   (contraction over the TM*V rows)
+        dw_ref[kk] += jax.lax.dot_general(
+            x2d, t2d,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32)
+        db_ref[kk] += jnp.sum(t2d.astype(jnp.float32), axis=0,
+                              keepdims=True)
+        # da_k[v, w] = sum_{m,o} g[m,v,o] z_k[m,w,o], z_k = x @ W_k + b_k
+        z_k = (jax.lax.dot_general(
+            x2d, w_ref[kk],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32) + b_ref[kk]).astype(x_ref.dtype)
+        z_t = z_k.reshape(tm, v, cp).transpose(1, 0, 2).reshape(v, tm * cp)
+        da_ref[kk] += jax.lax.dot_general(
+            g_t, z_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32)
+    dx_ref[:] = dx_acc.reshape(tm, v, c_in).astype(dx_ref.dtype)
+
+
+def _backward(x, w, b, a, g, tm, interpret, precision=None):
+    x2, w2, b2, a2, (n, t, v0, c_in, vp, cp, m, k, c_out, itemsize) = \
+        _prep(x, w, b, a)
+    g2 = g.reshape(m, v0, c_out)
+    if vp != v0:
+        g2 = jnp.pad(g2, [(0, 0), (0, vp - v0), (0, 0)])
+    pad_mat = jnp.eye(c_out, cp, dtype=x.dtype)
+    tile = tm or _pick_tile(m, vp, max(c_in, cp), cp, k, itemsize)
+    if m % tile:
+        tile = 1
+    kernel = functools.partial(_bwd_kernel, num_partitions=k,
+                               precision=precision)
+    flops = 3 * (2 * m * vp * c_in * k * cp) + 2 * (2 * m * k * vp * vp * cp)
+    dx, dw, db, da = pl.pallas_call(
+        kernel,
+        grid=(m // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, vp, c_in), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, vp, c_out), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, vp, vp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_out, cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, vp, c_in), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, vp, vp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, vp, c_in), x.dtype),
+            jax.ShapeDtypeStruct((k, c_in, cp), jnp.float32),
+            jax.ShapeDtypeStruct((k, 1, cp), jnp.float32),
+            jax.ShapeDtypeStruct((k, vp, vp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(x2.size + g2.size + m * vp * c_in) * itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, g2, w2, b2, a2, pad_mat)
+    if vp != v0:
+        dx = dx[:, :v0]
+        da = da[:, :v0, :v0]
+    dx = dx.reshape(n, t, v0, c_in)
+    dw = dw[:, :, :c_out].transpose(1, 0, 2)      # (C_in, K, C_out)
+    db = db[:, 0, :c_out]                         # (K, C_out)
+    return (dx, dw.astype(w.dtype), db.astype(b.dtype), da.astype(a.dtype))
+
+
+def _fwd_rule(x, w, b, a, tm, interpret, precision=None):
+    return _forward(x, w, b, a, tm, interpret, precision), (x, w, b, a)
+
+
+def _bwd_rule(tm, interpret, precision, res, g):
     x, w, b, a = res
-    n, t, v, c_in = x.shape
-    c_out = g.shape[-1]
-    k = a.shape[0]
-    gf = g.astype(jnp.float32)
-    xf = x.astype(jnp.float32)
-    wf = w.astype(jnp.float32)
-    af = a.astype(jnp.float32)
-
-    # recompute the expansion (cheaper than storing the K*C_out intermediate);
-    # the bias participates in dA since out = sum A (y + b)
-    y = jnp.einsum("ntwi,iko->ntwko", xf, wf,
-                   preferred_element_type=jnp.float32) + b.astype(jnp.float32)
-    da = jnp.einsum("ntvo,ntwko->kvw", gf, y,
-                    preferred_element_type=jnp.float32)
-
-    dy = jnp.einsum("kvw,ntvo->ntwko", af, gf,
-                    preferred_element_type=jnp.float32)
-    dx = jnp.einsum("ntwko,iko->ntwi", dy, wf,
-                    preferred_element_type=jnp.float32)
-    dw = jnp.einsum("ntwi,ntwko->iko", xf, dy,
-                    preferred_element_type=jnp.float32)
-    db = jnp.sum(dy, axis=(0, 1, 2))
-    return (dx.astype(x.dtype), dw.astype(w.dtype), db.astype(w.dtype),
-            da.astype(a.dtype))
+    return _backward(x, w, b, a, g, tm, interpret, precision)
 
 
 spatial_conv_fused.defvjp(_fwd_rule, _bwd_rule)

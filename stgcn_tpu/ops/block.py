@@ -148,7 +148,8 @@ def block_forward(
                 w = w.astype(compute_dtype)
                 b2 = b2.astype(compute_dtype)
                 a2 = a2.astype(compute_dtype)
-            return spatial_conv_fused(hh, w, b2, a2).astype(h.dtype)
+            return spatial_conv_fused(hh, w, b2, a2, None, False,
+                                      precision).astype(h.dtype)
     else:
         def apply_spatial(h):
             return spatial_conv(params["spatial"], A, h, precision=precision,
