@@ -102,9 +102,57 @@ def main_spatial() -> None:
               flush=True)
 
 
+def main_vmajor() -> None:
+    """V-major layout candidates: transpose-free spatial composite and
+    sublane-offset tap slicing for the temporal conv."""
+    for dt in (jnp.float32, jnp.bfloat16):
+        nm = jnp.dtype(dt).name
+
+        # spatial fwd composite, V leading: zero transposes, zero V padding
+        v, tn, c, cp = 25, 128, 64, 128
+        x = _rand((v, tn, c), dt)
+        w = _rand((c, cp), dt)
+        b = _rand((1, cp), dt)
+        a = _rand((v, v), dt)
+
+        def spatial(x, w, b, a):
+            x2d = x.reshape(v * tn, c)
+            y = jax.lax.dot_general(
+                x2d, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b
+            yt = y.astype(x.dtype).reshape(v, tn, cp).reshape(v, tn * cp)
+            acc = jax.lax.dot_general(
+                a, yt, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc.reshape(v, tn, cp)[:, :, :c]
+
+        print(f"vmajor_spatial v=25 tn=128 c=64 {nm}: "
+              f"{probe_op('sp', spatial, [x, w, b, a])}", flush=True)
+
+        # temporal tap slices on the sublane (time) dim, V*N leading
+        vn, bt, gamma = 8, 32, 9
+        xt = _rand((vn, bt + gamma - 1, c), dt)
+        wt = _rand((gamma, c, c), dt)
+
+        def temporal(xt, wt):
+            acc = jnp.zeros((vn * bt, c), jnp.float32)
+            for g in range(gamma):
+                xg = xt[:, g:g + bt, :].reshape(vn * bt, c)
+                acc += jax.lax.dot_general(
+                    xg, wt[g], dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return acc.reshape(vn, bt, c)
+
+        print(f"vmajor_temporal vn=8 bt=32 gamma=9 c=64 {nm}: "
+              f"{probe_op('tc', temporal, [xt, wt])}", flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "spatial":
         main_spatial()
+        sys.exit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "vmajor":
+        main_vmajor()
         sys.exit(0)
     cases = [
         (152, 25, 64, jnp.bfloat16),   # the failing production shape

@@ -80,7 +80,7 @@ def stage1(which: str, dtype_name: str) -> None:
           f"{dtype_name}: rel={worst:.2e}", flush=True)
 
 
-def timing(spatial: str, temporal: str) -> None:
+def timing(spatial: str, temporal: str, layout: str = "ntvc") -> None:
     import jax
     import jax.numpy as jnp
     import optax
@@ -96,7 +96,7 @@ def timing(spatial: str, temporal: str) -> None:
     model = STGCN(STGCNConfig(
         strategy=Strategy.DISTANCE, d=1, residual=True, dropout_rate=0.5,
         compute_dtype=jnp.bfloat16, spatial_impl=spatial,
-        temporal_impl=temporal))
+        temporal_impl=temporal, layout=layout))
     opt = optax.adam(1e-3)
     ts = create_train_state(model, opt, seed=0, rng_impl="rbg")
     step = make_train_step(model, opt)
@@ -108,8 +108,57 @@ def timing(spatial: str, temporal: str) -> None:
         ts, m = step(ts, x, y)
     jax.block_until_ready(m["loss"])
     dt = (time.perf_counter() - t0) / 20
-    print(f"spatial={spatial} temporal={temporal}: {dt*1e3:.1f} ms/step "
-          f"({64/dt:.0f} seq/s) loss={float(m['loss']):.4f}", flush=True)
+    print(f"spatial={spatial} temporal={temporal} layout={layout}: "
+          f"{dt*1e3:.1f} ms/step ({64/dt:.0f} seq/s) "
+          f"loss={float(m['loss']):.4f}", flush=True)
+
+
+def stage5(dtype_name: str = "f32") -> None:
+    """On-chip vm-vs-ntvc full-model parity (dropout off, deterministic)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stgcn_tpu.data.synthetic import random_batch
+    from stgcn_tpu.graph.adjacency import Strategy
+    from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+    from stgcn_tpu.training import metrics as M
+
+    dt = jnp.bfloat16 if dtype_name == "bf16" else None
+    cfg = STGCNConfig(strategy=Strategy.DISTANCE, d=1, residual=True,
+                      dropout_rate=0.0, compute_dtype=dt)
+    m1 = STGCN(cfg)
+    m2 = STGCN(dc.replace(cfg, layout="vntc"))
+    params, state = m1.init(jax.random.key(0))
+    x, y = random_batch(np.random.default_rng(0), 8, 64)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+
+    def loss_fn(model):
+        def f(p):
+            logits, _ = model.apply(p, state, x, train=True)
+            return M.cross_entropy(logits, y), logits
+        return f
+
+    (l1, g1), gr1 = jax.jit(lambda p: jax.value_and_grad(
+        loss_fn(m1), has_aux=True)(p))(params), None
+    (l2, g2), gr2 = jax.jit(lambda p: jax.value_and_grad(
+        loss_fn(m2), has_aux=True)(p))(params), None
+    (lv1, logits1), grads1 = l1, g1
+    (lv2, logits2), grads2 = l2, g2
+    print(f"loss ntvc={float(lv1):.6f} vntc={float(lv2):.6f} "
+          f"dlogit={float(jnp.max(jnp.abs(logits1 - logits2))):.3e}",
+          flush=True)
+    worst = ("", 0.0)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(grads1)[0],
+            jax.tree_util.tree_flatten_with_path(grads2)[0]):
+        s = float(jnp.max(jnp.abs(a))) + 1e-9
+        e = float(jnp.max(jnp.abs(a - b))) / s
+        if e > worst[1]:
+            worst = (jax.tree_util.keystr(pa), e)
+    print(f"worst grad rel: {worst[0]} {worst[1]:.3e}", flush=True)
 
 
 if __name__ == "__main__":
@@ -122,3 +171,7 @@ if __name__ == "__main__":
         timing("pallas", "conv")
     elif stage == "3":
         timing("pallas", "pallas")
+    elif stage == "4":
+        timing("einsum", "conv", layout="vntc")
+    elif stage == "5":
+        stage5(sys.argv[2] if len(sys.argv) > 2 else "f32")

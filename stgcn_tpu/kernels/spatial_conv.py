@@ -328,3 +328,242 @@ def _bwd_rule(tm, interpret, precision, res, g):
 
 
 spatial_conv_fused.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# V-major variants: (V, M, C) activations — zero transposes, zero V padding
+# ---------------------------------------------------------------------------
+#
+# With V leading, every reshape the kernels need is a leading-into-sublane
+# merge ((V, TM, C) -> (V*TM, C), legal when TM % 16 == 0 — TM is ours to
+# choose) or a lane merge at cp % 128 == 0 (padded through the weights).
+# The ntvc kernels above spend most of their time in Mosaic relayouts for
+# the (TM,V,C) -> (V,TM,C) transposes; these variants have none.
+
+
+def _fwd_kernel_vm(x_ref, w_ref, b_ref, a_ref, out_ref, *,
+                   num_partitions: int, precision=None):
+    v, tm, c_in = x_ref.shape
+    c_out = out_ref.shape[-1]
+    cp = w_ref.shape[-1]
+    x2d = x_ref[:].reshape(v * tm, c_in)
+    acc = jnp.zeros((v, tm * cp), jnp.float32)
+    for kk in range(num_partitions):
+        y_k = jax.lax.dot_general(
+            x2d, w_ref[kk],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        y_k = (y_k + b_ref[kk]).astype(x_ref.dtype)
+        acc += jax.lax.dot_general(
+            a_ref[kk], y_k.reshape(v, tm, cp).reshape(v, tm * cp),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+    out = acc.reshape(v, tm, cp)
+    out_ref[:] = out[:, :, :c_out].astype(out_ref.dtype)
+
+
+def _bwd_kernel_vm(x_ref, g_ref, w_ref, b_ref, a_ref, pad_ref,
+                   dx_ref, dw_ref, db_ref, da_ref, *,
+                   num_partitions: int, precision=None):
+    v, tm, c_in = x_ref.shape
+    c_out = g_ref.shape[-1]
+    cp = w_ref.shape[-1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        da_ref[:] = jnp.zeros_like(da_ref)
+
+    x2d = x_ref[:].reshape(v * tm, c_in)
+    g2d = g_ref[:].reshape(v * tm, c_out)
+    gp = jax.lax.dot_general(
+        g2d, pad_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32).astype(g_ref.dtype)
+    g_t = gp.reshape(v, tm, cp).reshape(v, tm * cp)
+
+    dx_acc = jnp.zeros((v * tm, c_in), jnp.float32)
+    for kk in range(num_partitions):
+        t_k = jax.lax.dot_general(
+            a_ref[kk], g_t,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32).astype(g_ref.dtype)
+        t2d = t_k.reshape(v, tm, cp).reshape(v * tm, cp)
+        dx_acc += jax.lax.dot_general(
+            t2d, w_ref[kk],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32)
+        dw_ref[kk] += jax.lax.dot_general(
+            x2d, t2d,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32)
+        db_ref[kk] += jnp.sum(t2d.astype(jnp.float32), axis=0,
+                              keepdims=True)
+        z_k = (jax.lax.dot_general(
+            x2d, w_ref[kk],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32) + b_ref[kk]).astype(x_ref.dtype)
+        z_t = z_k.reshape(v, tm, cp).reshape(v, tm * cp)
+        da_ref[kk] += jax.lax.dot_general(
+            g_t, z_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32)
+    dx_ref[:] = dx_acc.reshape(v, tm, c_in).astype(dx_ref.dtype)
+
+
+def _pick_tile_vm(m: int, v: int, c_in: int, cp: int, k: int,
+                  itemsize: int) -> int:
+    budget = 9 * 1024 * 1024
+    fixed = 4 * k * (c_in * cp + cp + v * v)
+    best, best_score = 16, -1
+    for tm in (512, 256, 128, 64, 32, 16):
+        per_col = (
+            2 * v * c_in * itemsize
+            + 2 * v * cp * 4            # y_k f32 / t_k f32
+            + 2 * v * cp * itemsize     # merged bf16 views
+            + 2 * v * cp * itemsize     # out tile
+        )
+        if fixed + tm * per_col > budget:
+            continue
+        score = tm * (2 if m % tm == 0 else 1)
+        if score > best_score:
+            best, best_score = tm, score
+    return best
+
+
+def _prep_vm(x_vm, w, b, a):
+    """x_vm: (V, M, C_in); pads M to the tile multiple, channels via cp."""
+    v, m, c_in = x_vm.shape
+    k, c_out = b.shape
+    itemsize = jnp.dtype(x_vm.dtype).itemsize
+    cp = _lane_pad(c_out)
+    tile = _pick_tile_vm(m, v, c_in, cp, k, itemsize)
+    mp = _cdiv(m, tile) * tile
+    if mp != m:
+        x_vm = jnp.pad(x_vm, [(0, 0), (0, mp - m), (0, 0)])
+    w2 = jnp.pad(w.transpose(1, 0, 2), [(0, 0), (0, 0), (0, cp - c_out)])
+    b2 = jnp.pad(b.reshape(k, 1, c_out), [(0, 0), (0, 0), (0, cp - c_out)])
+    return (x_vm, w2.astype(x_vm.dtype), b2.astype(x_vm.dtype),
+            a.astype(x_vm.dtype), tile,
+            (v, m, mp, c_in, cp, k, c_out, itemsize))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def spatial_conv_fused_vm(x_vm, w, b, a, tm: int | None = None,
+                          interpret: bool = False, precision=None):
+    """Fused spatial conv on V-major ``(V, M, C_in)`` -> ``(V, M, C_out)``."""
+    return _forward_vm(x_vm, w, b, a, tm, interpret, precision)
+
+
+def _forward_vm(x_vm, w, b, a, tm, interpret, precision=None):
+    x2, w2, b2, a2, tile, (v, m, mp, c_in, cp, k, c_out, itemsize) = \
+        _prep_vm(x_vm, w, b, a)
+    tile = tm or tile
+    kernel = functools.partial(_fwd_kernel_vm, num_partitions=k,
+                               precision=precision)
+    flops = 2 * mp * v * c_in * k * cp + 2 * mp * k * v * v * cp
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // tile,),
+        in_specs=[
+            pl.BlockSpec((v, tile, c_in), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, v, v), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((v, tile, c_out), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((v, mp, c_out), x_vm.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(x2.size + mp * v * c_out) * itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, w2, b2, a2)
+    return out[:, :m] if mp != m else out
+
+
+def _backward_vm(x_vm, w, b, a, g, tm, interpret, precision=None):
+    x2, w2, b2, a2, tile, (v, m, mp, c_in, cp, k, c_out, itemsize) = \
+        _prep_vm(x_vm, w, b, a)
+    tile = tm or tile
+    g2 = jnp.pad(g, [(0, 0), (0, mp - m), (0, 0)]) if mp != m else g
+    pad_mat = jnp.eye(c_out, cp, dtype=x_vm.dtype)
+    kernel = functools.partial(_bwd_kernel_vm, num_partitions=k,
+                               precision=precision)
+    flops = 3 * (2 * mp * v * c_in * k * cp) + 2 * (2 * mp * k * v * v * cp)
+    dx, dw, db, da = pl.pallas_call(
+        kernel,
+        grid=(mp // tile,),
+        in_specs=[
+            pl.BlockSpec((v, tile, c_in), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, tile, c_out), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, v, v), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_out, cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((v, tile, c_in), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, v, v), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((v, mp, c_in), x_vm.dtype),
+            jax.ShapeDtypeStruct((k, c_in, cp), jnp.float32),
+            jax.ShapeDtypeStruct((k, 1, cp), jnp.float32),
+            jax.ShapeDtypeStruct((k, v, v), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(x2.size + g2.size + mp * v * c_in) * itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, g2, w2, b2, a2, pad_mat)
+    if mp != m:
+        dx = dx[:, :m]
+    dw = dw[:, :, :c_out].transpose(1, 0, 2)
+    db = db[:, 0, :c_out]
+    return (dx, dw.astype(w.dtype), db.astype(b.dtype), da.astype(a.dtype))
+
+
+def _fwd_rule_vm(x_vm, w, b, a, tm, interpret, precision=None):
+    return (_forward_vm(x_vm, w, b, a, tm, interpret, precision),
+            (x_vm, w, b, a))
+
+
+def _bwd_rule_vm(tm, interpret, precision, res, g):
+    x_vm, w, b, a = res
+    return _backward_vm(x_vm, w, b, a, g, tm, interpret, precision)
+
+
+spatial_conv_fused_vm.defvjp(_fwd_rule_vm, _bwd_rule_vm)

@@ -67,6 +67,12 @@ class STGCNConfig:
                                       # inserting layout copies between the
                                       # conv's T-minor layout and the
                                       # matmul/reduce C-minor layout)
+    layout: str = "ntvc"              # "vntc" = V-major single-chip TPU
+                                      # production mode: activations run as
+                                      # (V, N, T, C) through fused V-major
+                                      # Pallas kernels for both convs (zero
+                                      # Mosaic relayouts / V padding; see
+                                      # kernels/spatial_conv.py)
     remat: bool = False               # checkpoint each block: recompute its
                                       # forward in the backward pass instead of
                                       # saving intermediates to HBM (the model
@@ -158,6 +164,11 @@ class STGCN:
         else:
             drop_keys = [None] * n_blocks
 
+        if cfg.layout == "vntc":
+            return self._apply_vm(params, state, x, train=train,
+                                  drop_keys=drop_keys, time_mask=time_mask,
+                                  precision=precision)
+
         new_blocks_s = []
         h = x
         if time_mask is not None:
@@ -190,6 +201,56 @@ class STGCN:
 
         pooled = global_avg_pool(h, time_mask)  # (N, C)
         logits = linear(params["fc"], pooled, precision=precision)
+        if cfg.final_softmax:
+            logits = jax.nn.softmax(logits, axis=-1)
+        return logits, {"blocks": new_blocks_s}
+
+    def _apply_vm(self, params, state, x, *, train, drop_keys, time_mask,
+                  precision):
+        """V-major forward: one transpose in, fused V-major kernels, pool.
+
+        ``x`` arrives (N, T, V, C) already cast to the compute dtype; it is
+        transposed ONCE to (V, N, T, C) and stays V-major through all
+        blocks.  Interpret mode engages automatically off-TPU so the same
+        code path is CPU-testable.
+        """
+        from stgcn_tpu.ops.block import block_forward_vm
+
+        cfg = self.config
+        interpret = jax.default_backend() != "tpu"
+        if time_mask is not None:
+            x = x * time_mask[:, :, None, None].astype(x.dtype)
+        h = jnp.transpose(x, (2, 0, 1, 3))  # (V, N, T, C)
+        new_blocks_s = []
+        for i, (c_out, stride) in enumerate(cfg.plan):
+            def run_block(bp, bs, h, adj_, key, _stride=stride):
+                return block_forward_vm(
+                    bp, bs, h, adj_, stride=_stride, residual=cfg.residual,
+                    dropout_rate=cfg.dropout_rate, train=train,
+                    dropout_rng=key, precision=precision,
+                    interpret=interpret)
+
+            if cfg.remat and train:
+                run_block = jax.checkpoint(run_block)
+            h, s = run_block(params["blocks"][i], state["blocks"][i], h,
+                             self.adjacency, drop_keys[i])
+            new_blocks_s.append(s)
+            if time_mask is not None:
+                if stride != 1:
+                    time_mask = time_mask[:, ::stride]
+                h = h * time_mask[None, :, :, None].astype(h.dtype)
+
+        # masked/plain global mean over (V, T) on the V-major layout
+        acc = jnp.promote_types(h.dtype, jnp.float32)
+        if time_mask is None:
+            pooled = jnp.mean(h.astype(acc), axis=(0, 2))
+        else:
+            m = time_mask[None, :, :, None].astype(acc)
+            total = jnp.sum(h.astype(acc) * m, axis=(0, 2))
+            count = jnp.sum(m, axis=(0, 2)) * h.shape[0]
+            pooled = total / jnp.maximum(count, 1.0)
+        logits = linear(params["fc"], pooled.astype(h.dtype),
+                        precision=precision)
         if cfg.final_softmax:
             logits = jax.nn.softmax(logits, axis=-1)
         return logits, {"blocks": new_blocks_s}

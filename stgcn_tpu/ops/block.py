@@ -185,3 +185,83 @@ def block_forward(
             raise ValueError("dropout_rate > 0 in train mode needs dropout_rng")
         out = dropout_op(dropout_rng, out, dropout_rate, train=True)
     return out, new_state
+
+
+def block_forward_vm(
+    params: dict,
+    state: dict,
+    x: jax.Array,
+    adjacency: jax.Array,
+    *,
+    stride: int = 1,
+    residual: bool = False,
+    dropout_rate: float = 0.0,
+    train: bool = False,
+    dropout_rng: jax.Array | None = None,
+    precision=None,
+    interpret: bool = False,
+) -> tuple[jax.Array, dict]:
+    """One ST-GCN unit on V-major ``(V, N, T, C_in)`` -> ``(V, N, T', C_out)``.
+
+    The single-chip TPU production path: both convolutions run as fused
+    V-major Pallas kernels (kernels/{spatial_conv,temporal_conv_vm}), whose
+    layout needs zero transposes and zero V padding — see the Mosaic rules
+    in kernels/spatial_conv.py.  Parameters are IDENTICAL to the ntvc
+    block (init_block); only the activation layout differs.  BN reduces all
+    leading axes, so its semantics are layout-invariant.
+    """
+    from stgcn_tpu.kernels.spatial_conv import spatial_conv_fused_vm
+    from stgcn_tpu.kernels.temporal_conv_vm import temporal_conv_fused_vm
+
+    A = effective_adjacency(params, adjacency)
+    new_state = dict(state)
+    v, n, t, c_in = x.shape
+
+    def apply_spatial(h):
+        sp = params["spatial"]
+        out = spatial_conv_fused_vm(
+            h.reshape(v, n * t, h.shape[-1]), sp["w"], sp["b"],
+            A.astype(h.dtype), None, interpret, precision)
+        return out.reshape(v, n, t, out.shape[-1])
+
+    def apply_temporal(h):
+        tp = params["temporal"]
+        out = temporal_conv_fused_vm(
+            h.reshape(v * n, t, h.shape[-1]), tp["w"][:, 0], tp["b"],
+            stride, None, interpret, precision)
+        return out.reshape(v, n, -1, out.shape[-1])
+
+    if residual:
+        res = x
+        h, new_state["bn1"] = batchnorm(params["bn1"], state["bn1"], x,
+                                        train=train)
+        h = jax.nn.relu(h)
+        h = apply_spatial(h)
+        h, new_state["bn2"] = batchnorm(params["bn2"], state["bn2"], h,
+                                        train=train)
+        h = jax.nn.relu(h)
+        h = apply_temporal(h)
+        if "residual_proj" in params:
+            rp = params["residual_proj"]
+            short = res[:, :, ::stride] if stride != 1 else res
+            short = (jnp.einsum("vnti,io->vnto", short,
+                                rp["w"].astype(short.dtype),
+                                precision=precision)
+                     + rp["b"].astype(short.dtype)).astype(short.dtype)
+        else:
+            short = res
+        out = h + short
+    else:
+        h, new_state["bn1"] = batchnorm(params["bn1"], state["bn1"], x,
+                                        train=train)
+        h = apply_spatial(h)
+        h = apply_temporal(h)
+        out, new_state["bn2"] = batchnorm(params["bn2"], state["bn2"], h,
+                                          train=train)
+
+    out = jax.nn.relu(out)
+    if dropout_rate > 0.0 and train:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 in train mode needs dropout_rng")
+        out = dropout_op(dropout_rng, out, dropout_rate, train=True)
+    return out, new_state

@@ -65,6 +65,53 @@ class TestFusedSpatialConv:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("cin,cout", [(2, 64), (64, 64), (64, 128),
+                                          (256, 256)])
+    def test_bf16_all_channel_widths(self, cin, cout):
+        """bf16 pads V to 32 and channels to the C%128 lane rule; every
+        production layer shape must agree with the f32 einsum oracle to
+        bf16 rounding (on-chip runs: scripts/tpu_spconv_test.py)."""
+        rng = np.random.default_rng(3)
+        A = jnp.asarray(rng.standard_normal((2, 25, 25)) * 0.2, jnp.float32)
+        p = init_spatial_conv(jax.random.key(0), cin, cout, 2)
+        x = jnp.asarray(rng.standard_normal((2, 16, 25, cin)), jnp.bfloat16)
+        pb = jax.tree.map(lambda a_: a_.astype(jnp.bfloat16), p)
+        want = spatial_conv(p, A, x.astype(jnp.float32))
+        got = spatial_conv_fused(x, pb["w"], pb["b"], A.astype(jnp.bfloat16),
+                                 None, True)
+        scale = float(jnp.max(jnp.abs(want)))
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32) / scale, np.asarray(want) / scale,
+            atol=2e-2)
+
+        def loss(w, b, a_, x_):
+            return jnp.sum(jnp.sin(
+                spatial_conv_fused(x_, w, b, a_, None, True)
+                .astype(jnp.float32)))
+
+        def loss_ref(w, b, a_, x_):
+            return jnp.sum(jnp.sin(spatial_conv({"w": w, "b": b}, a_, x_)))
+
+        g = jax.grad(loss, argnums=(0, 1, 2, 3))(pb["w"], pb["b"],
+                                                 A.astype(jnp.bfloat16), x)
+        gref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+            p["w"], p["b"], A, x.astype(jnp.float32))
+        for name, a_, b_ in zip(("dw", "db", "dA", "dx"), g, gref):
+            s = float(jnp.max(jnp.abs(b_))) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(a_, np.float32) / s, np.asarray(b_) / s,
+                atol=3e-2, err_msg=name)
+
+    def test_precision_highest_matches_tightly(self, setup):
+        """precision threads through every in-kernel dot (Mosaic's default
+        f32 matmul truncates to bf16 on the MXU)."""
+        p, A, x = setup
+        hi = jax.lax.Precision.HIGHEST
+        want = spatial_conv(p, A, x, precision=hi)
+        got = spatial_conv_fused(x, p["w"], p["b"], A, None, True, hi)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_model_level_pallas_impl(self):
         """STGCNConfig(spatial_impl='pallas') end to end (interpret mode)."""
         from jax.experimental.pallas import tpu as pltpu

@@ -405,6 +405,9 @@ class TestAdamTrajectoryParity:
                     x, (x.shape[2], x.shape[3])).flatten(1)
                 return self.fc_layer(x)
 
+        # the chaos-divergence window below is init-dependent: pin torch's
+        # global RNG so earlier tests consuming it cannot shift the window
+        torch.manual_seed(0)
         ref = TinyRef().double()
         ref.train(True)
         sd = {k: v.clone() for k, v in ref.state_dict().items()}
