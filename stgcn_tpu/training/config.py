@@ -36,6 +36,7 @@ class ModelSection:
     final_softmax: bool = False
     temporal_impl: str = "conv"       # conv | pallas | block | shift_sum
     spatial_impl: str = "einsum"      # einsum | pallas
+    layout: str = "ntvc"              # ntvc | vntc (V-major fused TPU mode)
 
 
 @dataclasses.dataclass
@@ -224,5 +225,6 @@ def model_config_from(cfg: ExperimentConfig) -> "Any":
         compute_dtype=compute_dtype,
         temporal_impl=m.temporal_impl,
         spatial_impl=m.spatial_impl,
+        layout=m.layout,
         remat=cfg.parallel.remat,
     )

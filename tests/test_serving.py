@@ -54,6 +54,26 @@ class TestPredictor:
         np.testing.assert_allclose(batched, np.stack(single), rtol=1e-4,
                                    atol=1e-5)
 
+    def test_bf16_serving_matches_f32(self, ckpt, rng):
+        """bfloat16 inference (VERDICT r1 item 9): same checkpoint served in
+        the bf16 compute config agrees with f32 to bf16 tolerance and still
+        yields a valid distribution."""
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        seqs = [synth_sequence(a, rng, (40 + 7 * i, 41 + 7 * i))[:, :, :2]
+                for i, a in enumerate(list(KTH_LABELS)[:4])]
+        f32 = Predictor.from_checkpoint(ckpt, CFG, max_batch=4)
+        bf16 = Predictor.from_checkpoint(
+            ckpt, dc.replace(CFG, compute_dtype=jnp.bfloat16), max_batch=4)
+        p32 = f32.predict(seqs)
+        p16 = bf16.predict(seqs)
+        np.testing.assert_allclose(p16.probs.sum(axis=1), 1.0, rtol=1e-2)
+        # probabilities agree to bf16 rounding; argmax labels agree exactly
+        np.testing.assert_allclose(p16.probs, p32.probs, atol=0.05)
+        np.testing.assert_array_equal(p16.labels, p32.labels)
+
     def test_from_torch_state_dict(self, rng):
         torch = pytest.importorskip("torch")
         import sys
