@@ -20,7 +20,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(precision: str, out_dir: str, batch: int, t: int) -> str:
+def capture(precision: str, out_dir: str, batch: int, t: int,
+            layout: str = "ntvc") -> str:
     import jax
     import jax.numpy as jnp
     import optax
@@ -34,7 +35,7 @@ def capture(precision: str, out_dir: str, batch: int, t: int) -> str:
     bf16 = precision == "bf16"
     cfg = STGCNConfig(
         strategy=Strategy.DISTANCE, d=1, residual=True, dropout_rate=0.5,
-        compute_dtype=jnp.bfloat16 if bf16 else None)
+        compute_dtype=jnp.bfloat16 if bf16 else None, layout=layout)
     model = STGCN(cfg)
     opt = optax.adam(1e-3)
     # match bench.py's production config: hardware RNG for dropout in bf16
@@ -80,10 +81,11 @@ def main() -> int:
     ap.add_argument("--xplane", default="",
                     help="skip capture; summarize this xplane.pb")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--layout", default="ntvc", choices=("ntvc", "vntc"))
     args = ap.parse_args()
 
     xplane = args.xplane or capture(args.precision, args.out, args.batch,
-                                    args.t)
+                                    args.t, args.layout)
     if not xplane:
         print("no xplane captured", file=sys.stderr)
         return 1

@@ -79,6 +79,19 @@ class STGCNConfig:
                                       # is bandwidth-bound, so this trades
                                       # cheap FLOPs for HBM traffic)
 
+    def __post_init__(self):
+        if self.layout not in ("ntvc", "vntc"):
+            raise ValueError(
+                f"layout must be 'ntvc' or 'vntc', got {self.layout!r}")
+        if self.spatial_impl not in ("einsum", "pallas"):
+            raise ValueError(
+                f"spatial_impl must be 'einsum' or 'pallas', "
+                f"got {self.spatial_impl!r}")
+        if self.temporal_impl not in ("conv", "shift_sum", "block", "pallas"):
+            raise ValueError(
+                f"temporal_impl must be one of conv/shift_sum/block/pallas, "
+                f"got {self.temporal_impl!r}")
+
 
 class STGCN:
     """Static model definition.  Holds config + the precomputed adjacency."""
@@ -165,6 +178,18 @@ class STGCN:
             drop_keys = [None] * n_blocks
 
         if cfg.layout == "vntc":
+            # The V-major path runs fused pallas_call kernels, which GSPMD
+            # cannot partition — silently dropping the sharding hooks would
+            # produce a wrong (unsharded-semantics) program, so refuse.
+            # Sharded runs use layout="ntvc" (the halo-exchange conv already
+            # wraps the fused kernels per-shard; parallel/train.py).
+            if (bn_axis_names is not None or constrain is not None
+                    or callable(temporal_impl)):
+                raise ValueError(
+                    "layout='vntc' is the single-chip fused-kernel path and "
+                    "cannot compose with mesh sharding hooks (bn_axis_names/"
+                    "constrain/halo temporal conv); use layout='ntvc' for "
+                    "sharded training")
             return self._apply_vm(params, state, x, train=train,
                                   drop_keys=drop_keys, time_mask=time_mask,
                                   precision=precision)

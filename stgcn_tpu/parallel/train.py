@@ -107,6 +107,17 @@ def select_temporal_impl(mesh: Mesh, configured: str = "conv") -> str:
     return configured
 
 
+def _check_layout(mesh: Mesh, model) -> None:
+    """vntc is the single-chip fused-kernel mode: pallas_call has no GSPMD
+    partitioning rule, so a sharded vntc step would silently drop the halo
+    conv and every sharding constraint.  Fail loudly at step-build time."""
+    if model.config.layout == "vntc" and mesh.size > 1:
+        raise ValueError(
+            "layout='vntc' cannot run under a multi-device mesh "
+            f"(mesh shape {dict(mesh.shape)}); use layout='ntvc' — the "
+            "time-sharded halo path already runs the fused kernels per shard")
+
+
 def _resolve_temporal_impl(mesh: Mesh, model, *, precision,
                            shard_joints: bool):
     """The value block_forward receives: an impl string, or the halo-conv
@@ -134,6 +145,7 @@ def make_sharded_train_step(
     With ``use_time_mask`` the step takes an ``(N, T)`` validity mask sharded
     like the batch's leading axes (bucketed collation at NTU scale — the
     masked global pool then ignores padded frames on every shard)."""
+    _check_layout(mesh, model)
     x_sh = NamedSharding(mesh, mesh_lib.batch_spec(shard_joints))
     y_sh = NamedSharding(mesh, mesh_lib.label_spec())
     m_sh = NamedSharding(mesh, mesh_lib.time_mask_spec())
@@ -175,6 +187,7 @@ def make_sharded_train_step(
 def make_sharded_eval_step(model, mesh: Mesh, shardings: TrainState,
                            *, precision=None,
                            shard_joints: bool = False) -> Callable:
+    _check_layout(mesh, model)
     x_sh = NamedSharding(mesh, mesh_lib.batch_spec(shard_joints))
     y_sh = NamedSharding(mesh, mesh_lib.label_spec())
     rep = mesh_lib.replicated(mesh)

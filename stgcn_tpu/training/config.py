@@ -34,9 +34,19 @@ class ModelSection:
     residual: bool = False
     num_layers: int = 10              # 10 (code) or 9 (report variant)
     final_softmax: bool = False
-    temporal_impl: str = "conv"       # conv | pallas | block | shift_sum
+    temporal_impl: str = "conv"       # conv | pallas | block | shift_sum.
+                                      # NOTE measured on TPU v5e (ntvc, 10-blk
+                                      # B=64 T=304): pallas 122 ms vs conv
+                                      # 79.5 ms and block 147 ms — both
+                                      # alternates are measured-slower op
+                                      # variants kept for parity tests; the
+                                      # fast fused kernels live in the vntc
+                                      # layout, not here.
     spatial_impl: str = "einsum"      # einsum | pallas
-    layout: str = "ntvc"              # ntvc | vntc (V-major fused TPU mode)
+    layout: str = "ntvc"              # ntvc | vntc (V-major fused TPU mode;
+                                      # single-chip only — sharded runs must
+                                      # use ntvc).  Validated by
+                                      # STGCNConfig.__post_init__.
 
 
 @dataclasses.dataclass
