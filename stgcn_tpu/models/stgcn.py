@@ -87,10 +87,11 @@ class STGCNConfig:
             raise ValueError(
                 f"spatial_impl must be 'einsum' or 'pallas', "
                 f"got {self.spatial_impl!r}")
-        if self.temporal_impl not in ("conv", "shift_sum", "block", "pallas"):
+        if self.temporal_impl not in ("conv", "shift_sum", "block", "pallas",
+                                      "auto"):
             raise ValueError(
-                f"temporal_impl must be one of conv/shift_sum/block/pallas, "
-                f"got {self.temporal_impl!r}")
+                f"temporal_impl must be one of conv/shift_sum/block/pallas/"
+                f"auto, got {self.temporal_impl!r}")
 
 
 class STGCN:

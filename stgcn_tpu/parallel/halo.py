@@ -43,6 +43,7 @@ def make_halo_temporal_conv(
     inner_impl: str = "conv",
     precision=None,
     compute_dtype=None,
+    overlap: bool = True,
 ):
     """Build a drop-in temporal-conv callable for ``block_forward``.
 
@@ -50,6 +51,16 @@ def make_halo_temporal_conv(
     ``(N, T, V, C_in)`` array sharded ``P(data, time, ...)`` and the result
     carries the block-output sharding (channels replicated, or V-sharded in
     joint mode).
+
+    ``overlap=True`` (SURVEY §5 comm-backend row, §7 hard-part (c))
+    restructures each shard's work so the boundary exchange is NOT on the
+    critical path of the bulk compute: the two ppermutes are issued first,
+    the *interior* outputs (whose receptive field is fully local — all but
+    ~(gamma-1) frames) are convolved without any dependence on the permuted
+    slabs, and only the few edge outputs consume the halos.  XLA's
+    latency-hiding scheduler can then run the collective-permute in the
+    shadow of the interior conv — with the old monolithic concat the
+    exchange serialized before ALL local compute.
     """
     from stgcn_tpu.ops.temporal_conv import temporal_conv
 
@@ -77,32 +88,62 @@ def make_halo_temporal_conv(
         pad_l = (gamma - 1) // 2          # reference padding
         pad_r = gamma - 1 - pad_l
 
+        def run_conv(w_l, b_l, x_h):
+            # local valid conv; the bias is deferred so that under channel
+            # TP the partial C_in contraction sums once, not nmodel times
+            zero_b = jnp.zeros_like(b_l)
+            return temporal_conv({"w": w_l, "b": zero_b}, x_h, stride=stride,
+                                 padding=0, precision=precision,
+                                 impl=inner_impl, compute_dtype=compute_dtype)
+
         def local_fn(w_l, b_l, x_l):
+            t = x_l.shape[1]
+            gamma_ = gamma
+            # interior output range: receptive field fully inside the shard
+            j_lo = -(-pad_l // stride)
+            j_hi = (t + pad_l - gamma_) // stride        # inclusive
+            can_overlap = (overlap and ntime > 1 and j_hi >= j_lo
+                           and t % stride == 0)
             if ntime > 1:
                 # boundary slabs ride ICI to the time neighbors; shards at
                 # the global sequence edges receive ppermute's zero fill —
                 # identical to the reference conv's zero padding
                 fwd = [(i, i + 1) for i in range(ntime - 1)]
                 bwd = [(i + 1, i) for i in range(ntime - 1)]
-                parts = []
-                if pad_l:
-                    parts.append(lax.ppermute(
-                        x_l[:, -pad_l:], axis_name=mesh_lib.AXIS_TIME,
-                        perm=fwd))
-                parts.append(x_l)
-                if pad_r:
-                    parts.append(lax.ppermute(
-                        x_l[:, :pad_r], axis_name=mesh_lib.AXIS_TIME,
-                        perm=bwd))
-                x_h = jnp.concatenate(parts, axis=1)
-            else:
+                halo_l = lax.ppermute(
+                    x_l[:, -pad_l:], axis_name=mesh_lib.AXIS_TIME,
+                    perm=fwd) if pad_l else None
+                halo_r = lax.ppermute(
+                    x_l[:, :pad_r], axis_name=mesh_lib.AXIS_TIME,
+                    perm=bwd) if pad_r else None
+            if not (ntime > 1):
                 x_h = jnp.pad(x_l, [(0, 0), (pad_l, pad_r), (0, 0), (0, 0)])
-            # local valid conv; the bias is deferred so that under channel
-            # TP the partial C_in contraction sums once, not nmodel times
-            zero_b = jnp.zeros_like(b_l)
-            y = temporal_conv({"w": w_l, "b": zero_b}, x_h, stride=stride,
-                              padding=0, precision=precision,
-                              impl=inner_impl, compute_dtype=compute_dtype)
+                y = run_conv(w_l, b_l, x_h)
+            elif not can_overlap:
+                parts = [p for p in (halo_l, x_l, halo_r) if p is not None]
+                y = run_conv(w_l, b_l, jnp.concatenate(parts, axis=1))
+            else:
+                # 1) interior conv: depends only on local data, so the
+                #    permutes above can complete in its shadow
+                y_int = run_conv(
+                    w_l, b_l,
+                    x_l[:, j_lo * stride - pad_l:
+                        j_hi * stride - pad_l + gamma_])
+                ys = []
+                # 2) edge outputs: tiny convs over halo + boundary strips
+                if j_lo > 0:
+                    need = (j_lo - 1) * stride - pad_l + gamma_
+                    ys.append(run_conv(
+                        w_l, b_l,
+                        jnp.concatenate([halo_l, x_l[:, :need]], axis=1)))
+                ys.append(y_int)
+                t_out = t // stride
+                if j_hi + 1 < t_out:
+                    start = (j_hi + 1) * stride - pad_l
+                    ys.append(run_conv(
+                        w_l, b_l,
+                        jnp.concatenate([x_l[:, start:], halo_r], axis=1)))
+                y = jnp.concatenate(ys, axis=1) if len(ys) > 1 else ys[0]
             if channel_tp:
                 y = lax.psum(y, mesh_lib.AXIS_MODEL)
             return (y + b_l).astype(y.dtype)

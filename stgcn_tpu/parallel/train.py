@@ -102,7 +102,7 @@ def select_temporal_impl(mesh: Mesh, configured: str = "conv") -> str:
     """
     if mesh.shape[mesh_lib.AXIS_TIME] > 1:
         return "halo"
-    if configured in ("pallas", "pallas_interpret"):
+    if configured in ("pallas", "pallas_interpret", "auto"):
         return "conv"
     return configured
 
@@ -128,9 +128,9 @@ def _resolve_temporal_impl(mesh: Mesh, model, *, precision,
     from stgcn_tpu.parallel.halo import make_halo_temporal_conv
 
     inner = model.config.temporal_impl
-    if inner == "shift_sum":
-        inner = "conv"  # the fallback exists for the GSPMD bug; local
-        # per-shard convs don't have it
+    if inner in ("shift_sum", "auto"):
+        inner = "conv"  # shift_sum exists for the GSPMD bug (local per-shard
+        # convs don't have it); auto's pallas pick has no SPMD rule
     return make_halo_temporal_conv(mesh, shard_joints=shard_joints,
                                    inner_impl=inner, precision=precision)
 

@@ -34,7 +34,12 @@ class ModelSection:
     residual: bool = False
     num_layers: int = 10              # 10 (code) or 9 (report variant)
     final_softmax: bool = False
-    temporal_impl: str = "conv"       # conv | pallas | block | shift_sum.
+    temporal_impl: str = "conv"       # conv | auto | pallas | block |
+                                      # shift_sum.  "auto" picks per block:
+                                      # the C-minor Pallas kernel for narrow
+                                      # (C_out<=64) layers (kills the layout
+                                      # copies XLA inserts around the conv
+                                      # primitive), lax.conv for wide ones.
                                       # NOTE measured on TPU v5e (ntvc, 10-blk
                                       # B=64 T=304): pallas 122 ms vs conv
                                       # 79.5 ms and block 147 ms — both

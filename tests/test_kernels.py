@@ -221,3 +221,43 @@ class TestFusedTemporalConv:
             b, _ = m_pal.apply(params, state, x, train=False)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestAutoTemporalImpl:
+    def test_model_level_auto_matches_conv(self):
+        """temporal_impl='auto' (per-block kernel choice) is numerically the
+        conv path; off-TPU the pallas pick runs in interpret mode."""
+        from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+
+        cfg = STGCNConfig(plan=((8, 1), (64, 2), (128, 1)),
+                          strategy=Strategy.DISTANCE)
+        m_conv = STGCN(cfg)
+        import dataclasses as dc
+        m_auto = STGCN(dc.replace(cfg, temporal_impl="auto"))
+        params, state = m_conv.init(jax.random.key(0))
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 16, 25, 2)), jnp.float32)
+        a, _ = m_conv.apply(params, state, x, train=False)
+        b, _ = m_auto.apply(params, state, x, train=False)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_grad_parity_auto(self):
+        from stgcn_tpu.ops.temporal_conv import (
+            init_temporal_conv,
+            temporal_conv,
+        )
+
+        rng = np.random.default_rng(5)
+        p = init_temporal_conv(jax.random.key(0), 8, 8, 9)
+        x = jnp.asarray(rng.standard_normal((2, 30, 25, 8)), jnp.float32)
+
+        def loss(p, x, impl):
+            return jnp.sum(
+                jnp.sin(temporal_conv(p, x, stride=2, impl=impl)))
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(p, x, "conv")
+        g_auto = jax.grad(loss, argnums=(0, 1))(p, x, "auto")
+        for a_, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_auto)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
+                                       rtol=1e-3, atol=1e-3)

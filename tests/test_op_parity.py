@@ -478,3 +478,134 @@ class TestAdamTrajectoryParity:
         np.testing.assert_allclose(got, want, rtol=5e-2, atol=1e-4)
         # the trajectory must actually move for this to be a real test
         assert abs(want[-1] - want[0]) > 0.5
+
+
+class TestProductionTrajectoryParity:
+    """Trajectory parity at the PRODUCTION shape (VERDICT r2 item 7): the
+    full 10-block residual network, trained 40 steps from identical imported
+    init vs torch — in f32 (tight-ish: reduction noise only) and in the bf16
+    production compute mode (loose: bf16 rounding is ~1e-2/step and the
+    training map amplifies it, so only the early trajectory and the overall
+    descent are comparable).
+    """
+
+    @pytest.fixture(scope="class")
+    def production_runs(self, reference_modules):
+        import optax
+
+        rng = np.random.default_rng(7)
+
+        gc = reference_modules["graphconv"]
+        gamma, pad = 9, 4
+        cfg = STGCNConfig(strategy=adj.Strategy.DISTANCE, d=1,
+                          norm_mode="symmetric", adjacency_mode="reference",
+                          residual=True, dropout_rate=0.0)
+        model = STGCN(cfg)
+        A_t = torch.from_numpy(np.asarray(model.adjacency, np.float64)).float()
+
+        class RefNet(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                plan = [(2, 64, 1), (64, 64, 1), (64, 64, 1), (64, 64, 1),
+                        (64, 128, 2), (128, 128, 1), (128, 128, 1),
+                        (128, 256, 2), (256, 256, 1), (256, 256, 1)]
+                self.conv = torch.nn.Sequential(*[
+                    gc.SpatialTemporalConv(ci, co, A_t, gamma, s, pad,
+                                           dropout_rate=0.0, residual=True)
+                    for ci, co, s in plan
+                ])
+                self.fc_layer = torch.nn.Linear(256, 6)
+
+            def forward(self, x):  # (N, C, T, V)
+                x = self.conv(x)
+                x = torch.nn.functional.avg_pool2d(
+                    x, (x.shape[2], x.shape[3])).flatten(1)
+                return self.fc_layer(x)
+
+        torch.manual_seed(0)
+        ref = RefNet()
+        ref.train(True)
+        sd = {k: v.clone() for k, v in ref.state_dict().items()}
+
+        steps, lr, n, t = 40, 1e-3, 2, 20
+        batches = [(rng.standard_normal((n, t, 25, 2)).astype(np.float32),
+                    rng.integers(0, 6, n)) for _ in range(3)]
+
+        opt_t = torch.optim.Adam(ref.parameters(), lr=lr)
+        want = []
+        for i in range(steps):
+            x, y = batches[i % 3]
+            opt_t.zero_grad()
+            loss = torch.nn.functional.cross_entropy(
+                ref(torch.from_numpy(_from_ours_layout(x))),
+                torch.from_numpy(y))
+            loss.backward()
+            opt_t.step()
+            want.append(float(loss))
+
+        def run_ours(compute_dtype):
+            import dataclasses as dc
+
+            m = STGCN(dc.replace(cfg, compute_dtype=compute_dtype))
+            params, state = import_state_dict(sd, num_blocks=10,
+                                              num_partitions=m.num_partitions,
+                                              residual=True)
+            params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32),
+                                  params)
+            state = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), state)
+            opt = optax.adam(lr)
+            opt_state = opt.init(params)
+
+            @jax.jit
+            def step(params, state, opt_state, x, y):
+                def loss_fn(p):
+                    logits, new_state = m.apply(p, state, x, train=True)
+                    logits = logits.astype(jnp.float32)
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    return -jnp.mean(jnp.take_along_axis(
+                        logp, y[:, None], axis=-1)), new_state
+
+                (loss, new_state), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), new_state, \
+                    opt_state, loss
+
+            got = []
+            for i in range(steps):
+                x, y = batches[i % 3]
+                params, state, opt_state, loss = step(
+                    params, state, opt_state, jnp.asarray(x), jnp.asarray(y))
+                got.append(float(loss))
+            return got
+
+        return {"want": want, "f32": run_ours(None),
+                "bf16": run_ours(jnp.bfloat16)}
+
+    def test_f32_production_trajectory(self, production_runs):
+        want, got = production_runs["want"], production_runs["f32"]
+        # Step 0 is identical math on identical params: must agree to f32.
+        # Beyond that, f32 reduction-order noise (~1e-6 rel between torch and
+        # XLA summation orders) amplifies through the 10-block training map
+        # at roughly a decade per step (measured: 1% divergence by step 2),
+        # so only the early steps and the overall descent are comparable —
+        # the tight optimizer-semantics certification is the f64 2-block
+        # trajectory test above.
+        np.testing.assert_allclose(got[0], want[0], rtol=1e-5)
+        np.testing.assert_allclose(got[:3], want[:3], rtol=2e-2)
+        assert np.mean(got[-8:]) < got[0]
+        assert np.mean(want[-8:]) < want[0]
+        final_want, final_got = np.mean(want[-8:]), np.mean(got[-8:])
+        assert abs(final_got - final_want) < max(0.5, 0.35 * final_want), (
+            final_got, final_want)
+
+    def test_bf16_production_trajectory(self, production_runs):
+        want, got = production_runs["want"], production_runs["bf16"]
+        # bf16 production mode: early steps track f32 to bf16 rounding; the
+        # full trajectory must descend comparably (same data, same updates)
+        np.testing.assert_allclose(got[:5], want[:5], rtol=3e-2, atol=3e-2)
+        assert got[-1] < got[0]
+        final_want = np.mean(want[-8:])
+        final_got = np.mean(got[-8:])
+        assert abs(final_got - final_want) < max(0.5, 0.35 * final_want), (
+            final_got, final_want)
