@@ -53,6 +53,9 @@ class STGCNConfig:
     adjacency_mode: str = "mask"  # "reference" for trained-adjacency parity (Q2)
     mask_jitter: float = 0.0
     dropout_rate: float = 0.0
+    dropout_impl: str = "exact"       # "bits8" thresholds u8 random ints (4x
+                                      # less RNG traffic; keep prob quantized
+                                      # to 1/256 — exact at p=0.5)
     residual: bool = False
     final_softmax: bool = False  # True reproduces the inference-variant quirk Q4
     plan: tuple[tuple[int, int], ...] = DEFAULT_PLAN
@@ -80,6 +83,10 @@ class STGCNConfig:
                                       # cheap FLOPs for HBM traffic)
 
     def __post_init__(self):
+        if self.dropout_impl not in ("exact", "bits8"):
+            raise ValueError(
+                f"dropout_impl must be 'exact' or 'bits8', "
+                f"got {self.dropout_impl!r}")
         if self.layout not in ("ntvc", "vntc"):
             raise ValueError(
                 f"layout must be 'ntvc' or 'vntc', got {self.layout!r}")
@@ -213,6 +220,7 @@ class STGCN:
                     temporal_impl=temporal_impl,
                     compute_dtype=cfg.compute_dtype,
                     spatial_impl=cfg.spatial_impl,
+                    dropout_impl=cfg.dropout_impl,
                 )
 
             if cfg.remat and train:
@@ -254,7 +262,7 @@ class STGCN:
                     bp, bs, h, adj_, stride=_stride, residual=cfg.residual,
                     dropout_rate=cfg.dropout_rate, train=train,
                     dropout_rng=key, precision=precision,
-                    interpret=interpret)
+                    interpret=interpret, dropout_impl=cfg.dropout_impl)
 
             if cfg.remat and train:
                 run_block = jax.checkpoint(run_block)

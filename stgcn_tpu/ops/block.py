@@ -114,6 +114,7 @@ def block_forward(
     temporal_impl: str = "conv",
     compute_dtype=None,
     spatial_impl: str = "einsum",
+    dropout_impl: str = "exact",
 ) -> tuple[jax.Array, dict]:
     """One ST-GCN unit on ``(N, T, V, C_in)`` -> ``(N, T', V, C_out)``.
 
@@ -183,7 +184,8 @@ def block_forward(
     if dropout_rate > 0.0 and train:
         if dropout_rng is None:
             raise ValueError("dropout_rate > 0 in train mode needs dropout_rng")
-        out = dropout_op(dropout_rng, out, dropout_rate, train=True)
+        out = dropout_op(dropout_rng, out, dropout_rate, train=True,
+                         impl=dropout_impl)
     return out, new_state
 
 
@@ -200,6 +202,7 @@ def block_forward_vm(
     dropout_rng: jax.Array | None = None,
     precision=None,
     interpret: bool = False,
+    dropout_impl: str = "exact",
 ) -> tuple[jax.Array, dict]:
     """One ST-GCN unit on V-major ``(V, N, T, C_in)`` -> ``(V, N, T', C_out)``.
 
@@ -263,5 +266,6 @@ def block_forward_vm(
     if dropout_rate > 0.0 and train:
         if dropout_rng is None:
             raise ValueError("dropout_rate > 0 in train mode needs dropout_rng")
-        out = dropout_op(dropout_rng, out, dropout_rate, train=True)
+        out = dropout_op(dropout_rng, out, dropout_rate, train=True,
+                         impl=dropout_impl)
     return out, new_state

@@ -80,17 +80,13 @@ def temporal_conv(
     out_dtype = x.dtype
     acc = acc_dtype(x)
     if impl in ("auto", "auto_interpret"):
-        # Measured per-shape on v5e (scripts/tpu_hybrid_test.py): the narrow
-        # C=64 layers sit at the K=64/N=64 quarter-MXU roofline either way,
-        # but the XLA conv primitive additionally forces ~10 ms/step of
-        # {1,2,3,0}<->{3,0,2,1} layout copies around itself; the C-minor
-        # Pallas kernel removes them.  Wide layers keep the conv primitive
-        # (full-MXU there, and the kernel's V padding costs more than the
-        # copies).
-        c_out = params["w"].shape[-1]
-        on_tpu = impl == "auto" and jax.default_backend() == "tpu"
-        impl = ("pallas" if on_tpu else "pallas_interpret") \
-            if c_out <= 64 else "conv"
+        # Per-shape race on v5e (scripts/tpu_hybrid_test.py ops1, bf16,
+        # B=64): lax.conv beats the C-minor Pallas kernel at every width —
+        # (304,64)s1 1.13 vs 3.01 ms, (304,64->128)s2 0.91 vs 2.21 ms (the
+        # kernel's per-tap K=C dots + V padding cost more than the layout
+        # copies around the conv primitive).  So "auto" resolves to the conv
+        # primitive everywhere; the dispatch hook stays for future kernels.
+        impl = "conv"
     if impl in ("pallas", "pallas_interpret"):
         from stgcn_tpu.kernels.temporal_conv import temporal_conv_fused
         w = params["w"][:, 0]                      # (gamma, C_in, C_out)

@@ -35,11 +35,9 @@ class ModelSection:
     num_layers: int = 10              # 10 (code) or 9 (report variant)
     final_softmax: bool = False
     temporal_impl: str = "conv"       # conv | auto | pallas | block |
-                                      # shift_sum.  "auto" picks per block:
-                                      # the C-minor Pallas kernel for narrow
-                                      # (C_out<=64) layers (kills the layout
-                                      # copies XLA inserts around the conv
-                                      # primitive), lax.conv for wide ones.
+                                      # shift_sum.  "auto" = measured-best
+                                      # per block (currently conv at every
+                                      # width; see ops/temporal_conv.py).
                                       # NOTE measured on TPU v5e (ntvc, 10-blk
                                       # B=64 T=304): pallas 122 ms vs conv
                                       # 79.5 ms and block 147 ms — both
@@ -76,7 +74,10 @@ class DataSection:
 @dataclasses.dataclass
 class TrainSection:
     lr: float = 1e-4
-    optimizer: str = "adam"           # adam | adamw | sgd | momentum
+    optimizer: str = "adam"           # adam | flat_adam | adamw | sgd |
+                                      # momentum.  flat_adam = identical
+                                      # numerics, moments in one contiguous
+                                      # buffer (single fused update kernel)
     weight_decay: float = 0.0         # adamw only
     momentum: float = 0.9             # sgd/momentum only
     grad_clip_norm: float = 0.0       # 0 = off

@@ -322,3 +322,116 @@ class TestCheckedStep:
         bad = x.at[0, 0, 0, 0].set(np.nan)
         with pytest.raises(JaxRuntimeError):
             step(ts, bad, y)
+
+
+class TestFlatAdam:
+    """flat_adam: element-identical Adam with contiguous moment storage
+    (the TPU-fused optimizer; see training/optimizers.py)."""
+
+    def test_matches_optax_adam_on_model(self):
+        import optax
+
+        from stgcn_tpu.training.loop import make_train_step
+        from stgcn_tpu.training.optimizers import flat_adam
+        from stgcn_tpu.training.train_state import create_train_state
+
+        model = tiny_model()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, 16, 25, 2)), jnp.float32)
+        y = jnp.asarray(rng.integers(0, 6, 4))
+        losses = {}
+        for name, opt in (("ref", optax.adam(1e-3)),
+                          ("flat", flat_adam(1e-3))):
+            ts = create_train_state(model, opt, seed=0)
+            step = make_train_step(model, opt, donate=False)
+            ls = []
+            for _ in range(5):
+                ts, m = step(ts, x, y)
+                ls.append(float(m["loss"]))
+            losses[name] = ls
+        np.testing.assert_allclose(losses["flat"], losses["ref"],
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from stgcn_tpu.training.checkpoint import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+        from stgcn_tpu.training.loop import make_train_step
+        from stgcn_tpu.training.optimizers import flat_adam
+        from stgcn_tpu.training.train_state import create_train_state
+
+        model = tiny_model()
+        opt = flat_adam(1e-3)
+        ts = create_train_state(model, opt, seed=0)
+        step = make_train_step(model, opt, donate=False)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 16, 25, 2)), jnp.float32)
+        y = jnp.asarray(rng.integers(0, 6, 2))
+        ts, _ = step(ts, x, y)
+        base = str(tmp_path / "ckpt_flat")
+        save_checkpoint(base, ts, {})
+        restored = restore_checkpoint(base, create_train_state(model, opt))
+        for tree_a, tree_b in ((ts.params, restored.params),
+                               (ts.opt_state, restored.opt_state)):
+            for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_make_optimizer_flat_adam(self):
+        from stgcn_tpu.training.config import TrainSection
+        from stgcn_tpu.training.optimizers import make_optimizer
+
+        opt = make_optimizer(TrainSection(optimizer="flat_adam", lr=1e-3))
+        params = {"w": jnp.ones((3, 2))}
+        state = opt.init(params)
+        updates, _ = opt.update(jax.tree.map(jnp.ones_like, params), state)
+        assert jax.tree.leaves(updates)[0].shape == (3, 2)
+
+
+class TestBits8Dropout:
+    def test_statistics_and_scaling(self):
+        from stgcn_tpu.ops.common import dropout
+
+        key = jax.random.key(0)
+        x = jnp.ones((128, 512), jnp.float32)
+        for rate in (0.5, 0.3):
+            y = dropout(key, x, rate, train=True, impl="bits8")
+            assert abs(float(y.mean()) - 1.0) < 0.02       # unbiased
+            kept = float((y > 0).mean())
+            assert abs(kept - (1 - rate)) < 0.02
+        # p=0.5 is exactly representable: kept values are exactly 2x
+        y = dropout(key, x, 0.5, train=True, impl="bits8")
+        vals = np.unique(np.asarray(y))
+        assert set(vals.tolist()) <= {0.0, 2.0}
+
+    def test_gradients_flow(self):
+        from stgcn_tpu.ops.common import dropout
+
+        key = jax.random.key(1)
+        x = jnp.ones((8, 64), jnp.float32)
+
+        def loss(x):
+            return jnp.sum(dropout(key, x, 0.5, train=True, impl="bits8"))
+
+        g = jax.grad(loss)(x)
+        mask = np.asarray(g) > 0
+        np.testing.assert_allclose(np.asarray(g)[mask], 2.0)
+
+    def test_model_level_bits8(self):
+        """dropout_impl='bits8' through the full train step."""
+        import optax
+
+        from stgcn_tpu.training.loop import make_train_step
+        from stgcn_tpu.training.train_state import create_train_state
+
+        model = tiny_model(dropout_rate=0.5, dropout_impl="bits8")
+        opt = optax.adam(1e-3)
+        ts = create_train_state(model, opt, seed=0)
+        step = make_train_step(model, opt, donate=False)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((4, 16, 25, 2)), jnp.float32)
+        y = jnp.asarray(rng.integers(0, 6, 4))
+        losses = [float(step(ts, x, y)[1]["loss"])]
+        ts, _ = step(ts, x, y)
+        losses.append(float(step(ts, x, y)[1]["loss"]))
+        assert all(np.isfinite(losses))
