@@ -48,8 +48,10 @@ def bench_ours(batch: int, t: int, steps: int = 20,
     from stgcn_tpu.training.train_state import create_train_state
 
     bf16 = precision == "bf16"
+    # temporal_impl="auto" = measured-best kernel per backend (conv_vt on
+    # TPU: 78.0 vs 80.5 ms/step for plain conv; PERF_r03.md lever table)
     model = STGCN(STGCNConfig(strategy=Strategy.DISTANCE, d=1, residual=True,
-                              dropout_rate=0.5,
+                              dropout_rate=0.5, temporal_impl="auto",
                               compute_dtype=jnp.bfloat16 if bf16 else None))
     opt = optax.adam(1e-3)
     ts = create_train_state(model, opt, seed=0,

@@ -54,8 +54,13 @@ class STGCNConfig:
     mask_jitter: float = 0.0
     dropout_rate: float = 0.0
     dropout_impl: str = "exact"       # "bits8" thresholds u8 random ints (4x
-                                      # less RNG traffic; keep prob quantized
-                                      # to 1/256 — exact at p=0.5)
+                                      # less RNG bits; keep prob quantized to
+                                      # 1/256 — exact at p=0.5).  MEASURED
+                                      # SLOWER on v5e with the rbg impl
+                                      # (90.7 vs 80.2 ms/step: the flat->4D
+                                      # mask reshape breaks XLA's fusion);
+                                      # kept as an op variant for backends
+                                      # where RNG dominates.
     residual: bool = False
     final_softmax: bool = False  # True reproduces the inference-variant quirk Q4
     plan: tuple[tuple[int, int], ...] = DEFAULT_PLAN
@@ -76,13 +81,22 @@ class STGCNConfig:
                                       # Pallas kernels for both convs (zero
                                       # Mosaic relayouts / V padding; see
                                       # kernels/spatial_conv.py)
-    remat: bool = False               # checkpoint each block: recompute its
-                                      # forward in the backward pass instead of
-                                      # saving intermediates to HBM (the model
-                                      # is bandwidth-bound, so this trades
-                                      # cheap FLOPs for HBM traffic)
+    remat: Any = False                # False | True/"full" | "selective".
+                                      # full: recompute each block's whole
+                                      # forward in the backward (measured
+                                      # WORSE: +8-10 ms, recompute is
+                                      # MXU-bound).  selective: save ONLY the
+                                      # conv-boundary tensors (checkpoint_name
+                                      # tags in ops/block.py) and recompute
+                                      # the elementwise BN/ReLU/dropout chain
+                                      # — trades cheap VPU recompute for HBM
+                                      # traffic, the measured bottleneck.
 
     def __post_init__(self):
+        if self.remat not in (False, True, "full", "selective"):
+            raise ValueError(
+                f"remat must be False/True/'full'/'selective', "
+                f"got {self.remat!r}")
         if self.dropout_impl not in ("exact", "bits8"):
             raise ValueError(
                 f"dropout_impl must be 'exact' or 'bits8', "
@@ -94,11 +108,11 @@ class STGCNConfig:
             raise ValueError(
                 f"spatial_impl must be 'einsum' or 'pallas', "
                 f"got {self.spatial_impl!r}")
-        if self.temporal_impl not in ("conv", "shift_sum", "block", "pallas",
-                                      "auto"):
+        if self.temporal_impl not in ("conv", "conv_vt", "shift_sum",
+                                      "block", "pallas", "auto"):
             raise ValueError(
-                f"temporal_impl must be one of conv/shift_sum/block/pallas/"
-                f"auto, got {self.temporal_impl!r}")
+                f"temporal_impl must be one of conv/conv_vt/shift_sum/"
+                f"block/pallas/auto, got {self.temporal_impl!r}")
 
 
 class STGCN:
@@ -224,7 +238,14 @@ class STGCN:
                 )
 
             if cfg.remat and train:
-                run_block = jax.checkpoint(run_block)
+                if cfg.remat == "selective":
+                    run_block = jax.checkpoint(
+                        run_block,
+                        policy=jax.checkpoint_policies.save_only_these_names(
+                            "spatial_in", "spatial_out", "temporal_in",
+                            "temporal_out"))
+                else:
+                    run_block = jax.checkpoint(run_block)
             h, s = run_block(params["blocks"][i], state["blocks"][i], h,
                              self.adjacency, drop_keys[i])
             new_blocks_s.append(s)
@@ -265,6 +286,8 @@ class STGCN:
                     interpret=interpret, dropout_impl=cfg.dropout_impl)
 
             if cfg.remat and train:
+                # the vm blocks carry no checkpoint_name tags, so
+                # "selective" degrades to full recompute here
                 run_block = jax.checkpoint(run_block)
             h, s = run_block(params["blocks"][i], state["blocks"][i], h,
                              self.adjacency, drop_keys[i])

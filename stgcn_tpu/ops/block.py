@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from stgcn_tpu.ops.batchnorm import batchnorm, init_batchnorm
 from stgcn_tpu.ops.common import dropout as dropout_op
@@ -156,16 +157,26 @@ def block_forward(
             return spatial_conv(params["spatial"], A, h, precision=precision,
                                 compute_dtype=compute_dtype)
 
+    # checkpoint_name tags are identity ops outside jax.checkpoint; with the
+    # model's remat="selective" policy they mark the ONLY tensors saved for
+    # the backward pass (the conv boundaries — everything whose recompute is
+    # MXU work), while BN normalizations, ReLUs and dropout masks are
+    # recomputed instead of round-tripping HBM (the step is at ~91% of its
+    # HBM roofline — bytes, not FLOPs, are the scarce resource; CLAUDE.md).
+    name = checkpoint_name
+
     if residual:
         res = x
         h, new_state["bn1"] = batchnorm(
             params["bn1"], state["bn1"], x, train=train, axis_names=bn_axis_names)
         h = jax.nn.relu(h)
-        h = c(apply_spatial(h), "spatial_out")
+        h = name(h, "spatial_in")
+        h = name(c(apply_spatial(h), "spatial_out"), "spatial_out")
         h, new_state["bn2"] = batchnorm(
             params["bn2"], state["bn2"], h, train=train, axis_names=bn_axis_names)
         h = jax.nn.relu(h)
-        h = c(apply_temporal(h), "block_out")
+        h = name(h, "temporal_in")
+        h = name(c(apply_temporal(h), "block_out"), "temporal_out")
         if "residual_proj" in params:
             shortcut = pointwise_conv(params["residual_proj"], res, stride=stride,
                                       precision=precision)
@@ -175,8 +186,10 @@ def block_forward(
     else:
         h, new_state["bn1"] = batchnorm(
             params["bn1"], state["bn1"], x, train=train, axis_names=bn_axis_names)
-        h = c(apply_spatial(h), "spatial_out")
-        h = c(apply_temporal(h), "block_out")
+        h = name(h, "spatial_in")
+        h = name(c(apply_spatial(h), "spatial_out"), "spatial_out")
+        h = name(h, "temporal_in")
+        h = name(c(apply_temporal(h), "block_out"), "temporal_out")
         out, new_state["bn2"] = batchnorm(
             params["bn2"], state["bn2"], h, train=train, axis_names=bn_axis_names)
 

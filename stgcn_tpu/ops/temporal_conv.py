@@ -80,13 +80,14 @@ def temporal_conv(
     out_dtype = x.dtype
     acc = acc_dtype(x)
     if impl in ("auto", "auto_interpret"):
-        # Per-shape race on v5e (scripts/tpu_hybrid_test.py ops1, bf16,
-        # B=64): lax.conv beats the C-minor Pallas kernel at every width —
-        # (304,64)s1 1.13 vs 3.01 ms, (304,64->128)s2 0.91 vs 2.21 ms (the
-        # kernel's per-tap K=C dots + V padding cost more than the layout
-        # copies around the conv primitive).  So "auto" resolves to the conv
-        # primitive everywhere; the dispatch hook stays for future kernels.
-        impl = "conv"
+        # Measured-best dispatch (v5e, bf16 prod step, B=64 — PERF_r03.md):
+        # * the C-minor Pallas kernel loses to the conv primitive at every
+        #   width ((304,64)s1 fwd 3.01 vs 1.13 ms: per-tap K=C dots are
+        #   <=quarter-MXU), so it is never picked;
+        # * "conv_vt" (window (1,gamma) over (N,V,T,C)) beats plain conv
+        #   78.0 vs 80.5 ms/step at identical HBM bytes — XLA schedules the
+        #   swapped-spatial-dims conv with cheaper layout choices.
+        impl = "conv_vt" if jax.default_backend() == "tpu" else "conv"
     if impl in ("pallas", "pallas_interpret"):
         from stgcn_tpu.kernels.temporal_conv import temporal_conv_fused
         w = params["w"][:, 0]                      # (gamma, C_in, C_out)
@@ -96,6 +97,28 @@ def temporal_conv(
         out = temporal_conv_fused(x, w, params["b"], stride, padding,
                                   None, impl == "pallas_interpret", precision)
         return out.astype(out_dtype)
+    if impl == "conv_vt":
+        # same conv primitive with the spatial-dim roles swapped (window
+        # (1, gamma) over (N, V, T, C)): probes whether XLA's layout
+        # preference for the conv follows the window dims (if so, the
+        # {1,2,3,0} transpose copies around the T-window conv disappear)
+        w = params["w"]
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+            acc = None
+        else:
+            w = w.astype(x.dtype)
+        out = lax.conv_general_dilated(
+            jnp.swapaxes(x, 1, 2),
+            jnp.swapaxes(w, 0, 1),
+            window_strides=(1, stride),
+            padding=[(0, 0), (padding, padding)],
+            dimension_numbers=DIMENSION_NUMBERS,
+            precision=precision,
+            preferred_element_type=acc,
+        )
+        return (jnp.swapaxes(out, 1, 2) + params["b"]).astype(out_dtype)
     if impl == "block":
         return _temporal_conv_block(params, x, stride=stride,
                                     padding=padding, precision=precision,
