@@ -77,8 +77,14 @@ def bench_ours(batch: int, t: int, steps: int = 20,
     }
 
 
-def bench_reference_torch(batch: int = 4, t: int = 64, steps: int = 3) -> dict:
-    """Train-step time of the reference PyTorch model on this host's CPU."""
+def bench_reference_torch(batch: int = 4, t: int = 64, steps: int = 10) -> dict:
+    """Train-step time of the reference PyTorch model on this host's CPU.
+
+    Uses the BEST (minimum) per-step time: the baseline runs on a shared
+    host, and transient load would otherwise inflate our vs_baseline ratio
+    (observed across rounds: 0.16-3.1 seq/s from the same code).  min-over-
+    steps estimates the machine's actual capability.
+    """
     import contextlib
 
     sys.path.insert(0, REFERENCE_SRC)
@@ -98,14 +104,15 @@ def bench_reference_torch(batch: int = 4, t: int = 64, steps: int = 3) -> dict:
     opt.zero_grad()
     crit(model(x), y).backward()
     opt.step()
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(steps):
+        t0 = time.perf_counter()
         opt.zero_grad()
         loss = crit(model(x), y)
         loss.backward()
         opt.step()
-    dt = (time.perf_counter() - t0) / steps
-    return {"step_time_s": dt, "batch": batch, "t": t}
+        best = min(best, time.perf_counter() - t0)
+    return {"step_time_s": best, "batch": batch, "t": t}
 
 
 def reference_baseline_seq_per_s() -> float | None:

@@ -96,6 +96,21 @@ def resolve_distances(cfg: ExperimentConfig, train_ds) -> np.ndarray | None:
 
 def main(argv: list[str] | None = None) -> int:
     cfg = parse_config(argv)
+    if cfg.train.device == "cpu":
+        # must run before the first jax array op initializes a backend; a
+        # sitecustomize may pin jax_platforms, so the env var is ignored
+        # and the config API is the only reliable way to force CPU
+        import jax as _jax_dev
+
+        _jax_dev.config.update("jax_platforms", "cpu")
+    elif cfg.train.device == "tpu":
+        import jax as _jax_dev
+
+        if _jax_dev.default_backend() != "tpu":
+            raise SystemExit("--train.device tpu requested but the default "
+                             f"backend is {_jax_dev.default_backend()!r}")
+    elif cfg.train.device != "auto":
+        raise SystemExit(f"unknown --train.device {cfg.train.device!r}")
     print(cfg.to_json())
 
     train_ds, val_ds, test_ds = build_datasets(cfg)
@@ -121,13 +136,18 @@ def main(argv: list[str] | None = None) -> int:
             batch_fn = native_batches
             print("[data] using native C++ batch loader")
 
+    from stgcn_tpu.data.prefetch import prefetch
+
     def train_stream(epoch: int):
-        return batch_fn(train_ds, d.batch_size, shuffle=True,
-                        seed=d.seed + epoch, drop_remainder=False,
-                        sort_by_length=d.sort_by_length, **collate_kwargs)
+        # background-thread prefetch: batch i+1 is collated (npy reads,
+        # wrap-pad, augmentation) while the device runs step i
+        return prefetch(batch_fn(
+            train_ds, d.batch_size, shuffle=True,
+            seed=d.seed + epoch, drop_remainder=False,
+            sort_by_length=d.sort_by_length, **collate_kwargs))
 
     def val_stream():
-        return batch_fn(val_ds, d.batch_size, **collate_kwargs)
+        return prefetch(batch_fn(val_ds, d.batch_size, **collate_kwargs))
 
     t = cfg.train
     loggers = []

@@ -97,6 +97,9 @@ class TrainSection:
     log_every_steps: int = 10
     eval_every_epochs: int = 1
     seed: int = 0
+    device: str = "auto"              # auto | cpu | tpu — pins jax_platforms
+                                      # before backend init (the reference's
+                                      # --device flag, lightning_model.py:292)
     debug_nans: bool = False
     check_invariants: bool = False    # checkify'd step: in-jit label-range /
                                       # finite-loss / finite-grad assertions

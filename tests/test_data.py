@@ -329,3 +329,61 @@ class TestNativeLoader:
         for x, y, lens in native_batches(ds, 8, mode="bucket",
                                          sort_by_length=True):
             assert x.shape[1] >= lens.max()
+
+
+class TestPrefetch:
+    def test_order_and_completeness(self):
+        from stgcn_tpu.data.prefetch import prefetch
+
+        items = list(range(57))
+        assert list(prefetch(iter(items), depth=3)) == items
+        assert list(prefetch(iter([]), depth=2)) == []
+        assert list(prefetch(iter(items), depth=0)) == items  # passthrough
+
+    def test_producer_exception_propagates(self):
+        from stgcn_tpu.data.prefetch import prefetch
+
+        def gen():
+            yield 1
+            yield 2
+            raise RuntimeError("boom")
+
+        it = prefetch(gen(), depth=2)
+        assert next(it) == 1
+        assert next(it) == 2
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="boom"):
+            next(it)
+
+    def test_early_abandonment_does_not_hang(self):
+        import time
+
+        from stgcn_tpu.data.prefetch import prefetch
+
+        def gen():
+            for i in range(10_000):
+                yield i
+
+        it = prefetch(gen(), depth=2)
+        assert next(it) == 0
+        t0 = time.time()
+        it.close()  # generator close -> finally -> stop event
+        assert time.time() - t0 < 2.0
+
+    def test_overlaps_slow_producer(self):
+        import time
+
+        from stgcn_tpu.data.prefetch import prefetch
+
+        def slow_gen():
+            for i in range(5):
+                time.sleep(0.05)
+                yield i
+
+        # consumer also "computes" 0.05s per item; with depth-2 prefetch the
+        # wall clock approaches max(produce, consume), not the sum
+        t0 = time.time()
+        for _ in prefetch(slow_gen(), depth=2):
+            time.sleep(0.05)
+        overlapped = time.time() - t0
+        assert overlapped < 0.45  # serial would be ~0.5s + overhead
