@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Per-strategy training ablation — the reference's Table 1 analog, on TPU.
+
+The reference's defining experimental artifact is a per-partitioning-strategy
+accuracy table (report.pdf §5.2/§5.7 Table 1: uni 0.7109, distance 0.4837,
+spatial 0.7031, symmetrical 0.6562; best overall 80.47% with
+spatial-configuration + residual + augmentation).  Real KTH is not
+redistributable, so absolute accuracies are not comparable — what this
+script demonstrates is the same *experiment* running end to end through the
+product CLI on the real chip: every strategy (including
+spatial-configuration's gravity-distance precompute and the symmetrical
+strategy's mirror edges), the ablation knobs (residual, dropout,
+augmentation, edge importance), training to plateau, and test-set
+evaluation with confusion matrices.
+
+Runs each config as its own `python -m stgcn_tpu.cli.train` subprocess
+(serial — the TPU tunnel is single-tenant) and writes
+STRATEGY_TABLE_r03.json.
+
+Usage: python scripts/strategy_table.py [--device tpu] [--epochs 25]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (name, extra CLI args) — mirrors report.pdf Table 1's ablation setting
+# (dropout 0.5, no augmentation, 9 layers) plus the best-config analog.
+CONFIGS = [
+    ("uni_labeling", ["--model.partitioning", "0"]),
+    ("distance", ["--model.partitioning", "1"]),
+    ("spatial_configuration", ["--model.partitioning", "2"]),
+    ("symmetrical", ["--model.partitioning", "3"]),
+    ("best_spatial_residual_aug", [
+        "--model.partitioning", "2", "--model.residual", "true",
+        "--model.num_layers", "10", "--model.dropout_rate", "0.0",
+        "--data.augment_data", "true",
+    ]),
+]
+
+
+def run_one(name: str, extra: list[str], device: str, epochs: int) -> dict:
+    cmd = [
+        sys.executable, "-u", "-m", "stgcn_tpu.cli.train",
+        "--train.device", device,
+        "--data.synthetic", "true",
+        "--data.batch_size", "16",
+        "--data.collate_mode", "fixed", "--data.fixed_len", "128",
+        "--model.num_layers", "9",
+        "--model.dropout_rate", "0.5",
+        "--train.lr", "0.001",
+        "--train.optimizer", "flat_adam",
+        "--train.epochs", str(epochs),
+        "--parallel.precision", "bfloat16" if device != "cpu" else "default",
+    ] + extra
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                          timeout=3600)
+    out = proc.stdout + proc.stderr
+    m_test = re.search(r"\[test\] loss=([\d.]+) acc=([\d.]+) n=(\d+)", out)
+    train_accs = re.findall(r"'train_acc': ([\d.]+)", out)
+    val_accs = re.findall(r"'val_acc': ([\d.]+)", out)
+    result = {
+        "name": name,
+        "rc": proc.returncode,
+        "wall_s": round(time.time() - t0, 1),
+        "test_loss": float(m_test.group(1)) if m_test else None,
+        "test_acc": float(m_test.group(2)) if m_test else None,
+        "test_n": int(m_test.group(3)) if m_test else None,
+        "final_train_acc": float(train_accs[-1]) if train_accs else None,
+        "final_val_acc": float(val_accs[-1]) if val_accs else None,
+    }
+    if proc.returncode != 0:
+        result["tail"] = out[-2000:]
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="tpu")
+    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "STRATEGY_TABLE_r03.json"))
+    args = ap.parse_args()
+
+    results = [run_one(n, e, args.device, args.epochs) for n, e in CONFIGS]
+    table = {
+        "comment": (
+            "Reference Table 1 analog (report.pdf §5.2/§5.7) run end-to-end "
+            "through the product CLI on synthetic KTH-format data (real KTH "
+            "is not redistributable; absolute accuracy is not comparable to "
+            "the reference's published numbers — the artifact demonstrates "
+            "every strategy + ablation knob training to plateau on the "
+            f"target device). device={args.device}, 9-layer plan, "
+            "dropout 0.5, bf16, fixed-128 collation, flat_adam lr=1e-3, "
+            f"{args.epochs} epochs; 'best' config = spatial-configuration + "
+            "residual + augmentation, 10 layers (the reference's 80.47% "
+            "recipe)."),
+        "reference_table1": {"uni_labeling": 0.7109, "distance": 0.4837,
+                             "spatial_configuration": 0.7031,
+                             "symmetrical": 0.6562,
+                             "best_spatial_residual_aug": 0.8047},
+        "results": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(table, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+    return 0 if all(r["rc"] == 0 for r in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
                        help="write the confusion matrix to this .npy path")
     args, rest = extra.parse_known_args(argv)
     cfg = parse_config(rest)
+    from stgcn_tpu.training.config import apply_device
+
+    apply_device(cfg)
 
     train_ds, val_ds, test_ds = build_datasets(cfg)
     ds = {"train": train_ds, "val": val_ds, "test": test_ds}[args.split]
@@ -76,7 +79,11 @@ def main(argv: list[str] | None = None) -> int:
             opt_state=state.opt_state, step=state.step, rng=state.rng)
         print(f"[eval] imported torch state dict from {args.torch_checkpoint}")
     elif args.checkpoint:
-        state = restore_checkpoint(args.checkpoint, state)
+        # evaluation needs params + BN state only; skip the optimizer
+        # moments so checkpoints from ANY optimizer (adam, flat_adam, sgd)
+        # restore into the default template
+        state = restore_checkpoint(args.checkpoint, state,
+                                   skip_prefixes=("opt_state",))
         print(f"[eval] restored {args.checkpoint}")
     else:
         print("[eval] WARNING: evaluating a randomly initialized model "

@@ -96,21 +96,9 @@ def resolve_distances(cfg: ExperimentConfig, train_ds) -> np.ndarray | None:
 
 def main(argv: list[str] | None = None) -> int:
     cfg = parse_config(argv)
-    if cfg.train.device == "cpu":
-        # must run before the first jax array op initializes a backend; a
-        # sitecustomize may pin jax_platforms, so the env var is ignored
-        # and the config API is the only reliable way to force CPU
-        import jax as _jax_dev
+    from stgcn_tpu.training.config import apply_device
 
-        _jax_dev.config.update("jax_platforms", "cpu")
-    elif cfg.train.device == "tpu":
-        import jax as _jax_dev
-
-        if _jax_dev.default_backend() != "tpu":
-            raise SystemExit("--train.device tpu requested but the default "
-                             f"backend is {_jax_dev.default_backend()!r}")
-    elif cfg.train.device != "auto":
-        raise SystemExit(f"unknown --train.device {cfg.train.device!r}")
+    apply_device(cfg)
     print(cfg.to_json())
 
     train_ds, val_ds, test_ds = build_datasets(cfg)

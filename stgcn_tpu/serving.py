@@ -91,7 +91,10 @@ class Predictor:
 
         model = STGCN(config, distances=distances)
         template = create_train_state(model, optax.adam(1e-3), seed=0)
-        ts = restore_checkpoint(checkpoint_base, template)
+        # inference needs params + BN state only; tolerate checkpoints from
+        # any optimizer by keeping the template's opt_state
+        ts = restore_checkpoint(checkpoint_base, template,
+                                skip_prefixes=("opt_state",))
         return cls(model, ts.params, ts.model_state, **kw)
 
     @classmethod

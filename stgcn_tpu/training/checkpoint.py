@@ -59,16 +59,25 @@ def save_checkpoint(path: str, tree: Any, metadata: dict | None = None) -> str:
     return path + ".npz"
 
 
-def restore_checkpoint(path: str, target: Any) -> Any:
+def restore_checkpoint(path: str, target: Any,
+                       skip_prefixes: tuple[str, ...] = ()) -> Any:
     """Load ``path.npz`` into the structure of ``target`` (a template pytree
-    with matching treedef; leaf values are replaced)."""
+    with matching treedef; leaf values are replaced).
+
+    ``skip_prefixes``: key-path prefixes whose leaves keep the template's
+    values instead of being restored — e.g. ``("opt_state",)`` when
+    evaluating a checkpoint trained with a different optimizer (the stored
+    moment structure need not match the template's).
+    """
     with np.load(path + ".npz") as data:
         stored = {k: data[k] for k in data.files}
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(target)
     new_leaves = []
     for p, leaf in leaves_with_paths:
         key = _key_str(p)
-        if key in stored:
+        if any(key.startswith(pre) for pre in skip_prefixes):
+            new_leaves.append(leaf)
+        elif key in stored:
             new_leaves.append(stored[key])
         elif key + "#prngkey" in stored:
             new_leaves.append(jax.random.wrap_key_data(stored[key + "#prngkey"]))

@@ -207,6 +207,28 @@ def parse_config(argv: list[str] | None = None) -> ExperimentConfig:
     return cfg
 
 
+def apply_device(cfg: ExperimentConfig) -> None:
+    """Honor ``--train.device`` (the reference's --device flag).
+
+    Must run before the first jax array op initializes a backend; a
+    sitecustomize may pin jax_platforms, so the env var is ignored and the
+    config API is the only reliable way to force CPU.
+    """
+    device = cfg.train.device
+    if device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    elif device == "tpu":
+        import jax
+
+        if jax.default_backend() != "tpu":
+            raise SystemExit("--train.device tpu requested but the default "
+                             f"backend is {jax.default_backend()!r}")
+    elif device != "auto":
+        raise SystemExit(f"unknown --train.device {device!r}")
+
+
 def model_config_from(cfg: ExperimentConfig) -> "Any":
     """Map the experiment config onto an :class:`STGCNConfig`."""
     from stgcn_tpu.models.stgcn import DEFAULT_PLAN, PLAN_9, STGCNConfig

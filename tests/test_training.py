@@ -435,3 +435,34 @@ class TestBits8Dropout:
         ts, _ = step(ts, x, y)
         losses.append(float(step(ts, x, y)[1]["loss"]))
         assert all(np.isfinite(losses))
+
+
+class TestCrossOptimizerRestore:
+    def test_eval_restore_skips_opt_state(self, tmp_path):
+        """A flat_adam checkpoint restores into an optax.adam template when
+        the optimizer moments are skipped (the cli/evaluate + serving path:
+        inference needs params + BN state only)."""
+        import optax
+
+        from stgcn_tpu.training.checkpoint import (
+            restore_checkpoint,
+            save_checkpoint,
+        )
+        from stgcn_tpu.training.optimizers import flat_adam
+        from stgcn_tpu.training.train_state import create_train_state
+
+        model = tiny_model()
+        ts = create_train_state(model, flat_adam(1e-3), seed=0)
+        base = str(tmp_path / "ckpt_x")
+        save_checkpoint(base, ts, {})
+
+        template = create_train_state(model, optax.adam(1e-3), seed=1)
+        restored = restore_checkpoint(base, template,
+                                      skip_prefixes=("opt_state",))
+        for a, b in zip(jax.tree.leaves(ts.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # without the skip the structural mismatch must still fail loudly
+        import pytest as _pytest
+        with _pytest.raises(KeyError):
+            restore_checkpoint(base, template)
