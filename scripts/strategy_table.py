@@ -62,8 +62,24 @@ def run_one(name: str, extra: list[str], device: str, epochs: int) -> dict:
         "--parallel.precision", "bfloat16" if device != "cpu" else "default",
     ] + extra
     t0 = time.time()
-    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
-                          timeout=3600)
+    # Stuck-waiter watchdog (CLAUDE.md): a TPU client that connects during
+    # the previous run's lease-release window can block forever while fresh
+    # clients would succeed.  Killing a BLOCKED client is harmless, so on
+    # timeout we kill, cool down, and retry once with a fresh process.
+    for attempt in range(3):
+        try:
+            proc = subprocess.run(cmd, cwd=REPO, capture_output=True,
+                                  text=True, timeout=900)
+            break
+        except subprocess.TimeoutExpired:
+            print(f"# {name}: attempt {attempt} timed out (stuck waiter?); "
+                  "retrying fresh", file=sys.stderr, flush=True)
+            # a kill during the lease-release window can wedge the far side
+            # for 15-20 min; cool down long enough to clear it
+            time.sleep(240)
+    else:
+        return {"name": name, "rc": -1, "wall_s": round(time.time() - t0, 1),
+                "error": "timed out on every attempt"}
     out = proc.stdout + proc.stderr
     m_test = re.search(r"\[test\] loss=([\d.]+) acc=([\d.]+) n=(\d+)", out)
     train_accs = re.findall(r"'train_acc': ([\d.]+)", out)
@@ -90,9 +106,16 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--out", default=os.path.join(REPO,
                                                   "STRATEGY_TABLE_r03.json"))
+    ap.add_argument("--only", default="",
+                    help="comma-separated subset of config names to run")
     args = ap.parse_args()
 
-    results = [run_one(n, e, args.device, args.epochs) for n, e in CONFIGS]
+    results = []
+    for n, e in CONFIGS:
+        if args.only and n not in args.only.split(","):
+            continue
+        results.append(run_one(n, e, args.device, args.epochs))
+        time.sleep(60)  # let the far side release the lease cleanly
     table = {
         "comment": (
             "Reference Table 1 analog (report.pdf §5.2/§5.7) run end-to-end "
