@@ -56,13 +56,39 @@ def main() -> int:
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    # steady-state pipelined throughput: distinct batches (identical
+    # in-flight executions collapse on the axon path — CLAUDE.md microbench
+    # trap) streamed through predict_stream, which overlaps H2D transfer +
+    # compute + readback.  The serial path pays the tunnel round-trip per
+    # call; this is the production serving number.
+    pipelined = []
+    for batch in (64, 128):
+        n_batches = 24
+        xs = [rng.standard_normal((batch, t, 25, 2)).astype(np.float32)
+              for _ in range(n_batches)]
+        for _ in pred.predict_stream(xs[:2]):   # compile + warm the pipe
+            pass
+        t0 = time.perf_counter()
+        got = sum(o.shape[0] for o in pred.predict_stream(xs))
+        dt = time.perf_counter() - t0
+        row = {"batch": batch, "t": t, "n_batches": n_batches,
+               "pipelined_sequences_per_s": round(got / dt, 1),
+               "ms_per_batch": round(dt / n_batches * 1e3, 2)}
+        pipelined.append(row)
+        print(json.dumps(row), flush=True)
+
     out = {
         "comment": ("Eval-mode serving forward (softmax probs, bf16, "
-                    "temporal auto) on one v5e chip, T=304, host-blocking "
-                    "per-call latency incl. host<->device transfer via "
-                    "Predictor.predict_batch."),
+                    "temporal auto) on one v5e chip, T=304. 'results' = "
+                    "host-blocking per-call latency incl. host<->device "
+                    "transfer via Predictor.predict_batch (upper bound: the "
+                    "axon tunnel's host link round-trip is in the path). "
+                    "'pipelined' = steady-state throughput via "
+                    "Predictor.predict_stream (depth-2 in-flight pipeline "
+                    "hiding transfer/readback behind compute)."),
         "backend": jax.default_backend(),
         "results": results,
+        "pipelined": pipelined,
     }
     with open(os.path.join(REPO, "SERVING_r03.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -126,6 +126,37 @@ class Predictor:
         fn = self._fn_for(x.shape[0], x.shape[1])
         return np.asarray(fn(self.params, self.state, jnp.asarray(x)))
 
+    def predict_stream(self, batches, depth: int = 2):
+        """Pipelined inference over an iterable of ``(N, T, V, C)`` batches.
+
+        ``predict_batch`` is serial: every call pays host->device transfer,
+        the forward pass, and device->host readback back to back, so its
+        per-call latency bounds throughput.  This generator keeps up to
+        ``depth`` batches in flight — JAX dispatch and ``jax.device_put``
+        are asynchronous, so batch ``i+1``'s transfer and compute overlap
+        batch ``i``'s readback and steady-state throughput approaches
+        ``max(compute, transfer)`` instead of their sum (on the TPU tunnel,
+        where the host link is long-latency, this is a large factor; see
+        SERVING_r03.json).
+
+        Yields ``(N, classes)`` float32 probability arrays in input order.
+        Each batch's ``(N, T)`` must be a compiled/bucketed shape, as in
+        ``predict_batch``.
+        """
+        from collections import deque
+
+        inflight: deque = deque()
+        for x in batches:
+            fn = self._fn_for(x.shape[0], x.shape[1])
+            xd = jax.device_put(x)                      # async H2D
+            inflight.append(fn(self.params, self.state, xd))  # async dispatch
+            if len(inflight) > depth:
+                # blocks only on the OLDEST result; newer batches keep
+                # transferring/computing underneath
+                yield np.asarray(inflight.popleft())
+        while inflight:
+            yield np.asarray(inflight.popleft())
+
     def predict(self, sequences: list[np.ndarray]) -> Prediction:
         """Variable-length sequences -> class probabilities.
 

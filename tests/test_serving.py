@@ -54,6 +54,20 @@ class TestPredictor:
         np.testing.assert_allclose(batched, np.stack(single), rtol=1e-4,
                                    atol=1e-5)
 
+    def test_predict_stream_matches_predict_batch(self, ckpt, rng):
+        """The pipelined path is a reordering of the same executables:
+        results must match the serial path exactly, in input order, at any
+        pipeline depth (including depth > number of batches)."""
+        pred = Predictor.from_checkpoint(ckpt, CFG, max_batch=4)
+        xs = [rng.standard_normal((4, 64, 25, 2)).astype(np.float32)
+              for _ in range(5)]
+        serial = [pred.predict_batch(x) for x in xs]
+        for depth in (1, 2, 8):
+            got = list(pred.predict_stream(xs, depth=depth))
+            assert len(got) == len(xs)
+            for g, s in zip(got, serial):
+                np.testing.assert_array_equal(g, s)
+
     def test_bf16_serving_matches_f32(self, ckpt, rng):
         """bfloat16 inference (VERDICT r1 item 9): same checkpoint served in
         the bf16 compute config agrees with f32 to bf16 tolerance and still
