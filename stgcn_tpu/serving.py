@@ -171,21 +171,28 @@ class Predictor:
             b = bucket_length(seq.shape[0], self.buckets)
             by_bucket.setdefault(b, []).append(i)
 
-        for b, idxs in by_bucket.items():
-            for s in range(0, len(idxs), self.max_batch):
-                chunk = idxs[s:s + self.max_batch]
-                x = np.stack([
-                    wrap_pad(np.asarray(sequences[i], np.float32), b)
-                    for i in chunk])
-                # pad the batch dim to the compiled size for shape reuse
-                pad_n = self._padded_batch(len(chunk)) - len(chunk)
-                if pad_n:
-                    x = np.concatenate(
-                        [x, np.zeros((pad_n, *x.shape[1:]), np.float32)])
-                out = self.predict_batch(x)
-                if pad_n:
-                    out = out[:len(chunk)]
-                probs[chunk] = out
+        chunks: list[list[int]] = []
+
+        def batches():
+            # Generator so collation of chunk i+1 overlaps the device work
+            # of chunk i inside predict_stream's in-flight window.
+            for b, idxs in by_bucket.items():
+                for s in range(0, len(idxs), self.max_batch):
+                    chunk = idxs[s:s + self.max_batch]
+                    chunks.append(chunk)
+                    x = np.stack([
+                        wrap_pad(np.asarray(sequences[i], np.float32), b)
+                        for i in chunk])
+                    # pad the batch dim to the compiled size for shape reuse
+                    pad_n = self._padded_batch(len(chunk)) - len(chunk)
+                    if pad_n:
+                        x = np.concatenate(
+                            [x, np.zeros((pad_n, *x.shape[1:]), np.float32)])
+                    yield x
+
+        for out in self.predict_stream(batches()):
+            chunk = chunks.pop(0)
+            probs[chunk] = out[:len(chunk)]
 
         labels = probs.argmax(axis=1)
         names = [label_number_to_name(int(l))
