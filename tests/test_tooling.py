@@ -287,6 +287,35 @@ class TestExportCLI:
         params, _ = import_state_dict(sd, num_blocks=10, num_partitions=1)
         assert params["blocks"][0]["spatial"]["w"].shape[1] == 1  # K
 
+    def test_export_stablehlo_hermetic_roundtrip(self, synth_env, tmp_path):
+        """The serialized StableHLO artifact must reproduce the live
+        forward without any stgcn_tpu object in the loop."""
+        import jax
+
+        root, _ = synth_env
+        from stgcn_tpu.training.checkpoint import latest_checkpoint
+        from stgcn_tpu.cli.export import main as export_main
+
+        ckpt = latest_checkpoint(str(root / "ckpt"))
+        out = tmp_path / "model.stablehlo"
+        rc = export_main(["--checkpoint", ckpt, "--out", str(out),
+                          "--batch", "2", "--seq-len", "64"])
+        assert rc == 0
+        exp = jax.export.deserialize(out.read_bytes())
+        x = np.random.default_rng(0).standard_normal(
+            (2, 64, 25, 2)).astype(np.float32)
+        probs = np.asarray(exp.call(x))
+        assert probs.shape == (2, 6)
+        np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
+        # parity with the live model served from the same checkpoint
+        from stgcn_tpu.serving import Predictor
+        from stgcn_tpu.training.config import model_config_from, parse_config
+
+        pred = Predictor.from_checkpoint(
+            ckpt, model_config_from(parse_config([])), max_batch=2)
+        np.testing.assert_allclose(probs, pred.predict_batch(x),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_export_pt_loads_in_torch(self, synth_env, tmp_path):
         torch = pytest.importorskip("torch")
         root, _ = synth_env
