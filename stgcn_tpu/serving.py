@@ -66,6 +66,23 @@ class Predictor:
         self.max_batch = max_batch
         self.batch_pad = batch_pad
         self._compiled: dict[tuple[int, int], callable] = {}
+        # When the model computes in bf16 the inputs are cast to bf16 on
+        # device anyway — casting on the HOST instead halves the bytes on
+        # the host->device link (which, not compute, bounds serving
+        # throughput on long-latency links like the TPU tunnel;
+        # SERVING_r03.json).  Numerically this moves the rounding one op
+        # earlier (raw coords instead of post-cast), within bf16 serving
+        # tolerance.
+        import ml_dtypes
+
+        cd = getattr(model.config, "compute_dtype", None)
+        self._transfer_dtype = (np.dtype(ml_dtypes.bfloat16)
+                                if cd == jnp.bfloat16 else None)
+
+    def _host_cast(self, x: np.ndarray) -> np.ndarray:
+        if self._transfer_dtype is not None and x.dtype != self._transfer_dtype:
+            return x.astype(self._transfer_dtype)
+        return x
 
     def _padded_batch(self, n: int) -> int:
         """Compiled batch size for an ``n``-sequence chunk (the pinned
@@ -124,7 +141,8 @@ class Predictor:
     def predict_batch(self, x: np.ndarray) -> np.ndarray:
         """(N, T, V, C) -> (N, classes) probabilities; T must be a bucket."""
         fn = self._fn_for(x.shape[0], x.shape[1])
-        return np.asarray(fn(self.params, self.state, jnp.asarray(x)))
+        return np.asarray(fn(self.params, self.state,
+                             jnp.asarray(self._host_cast(x))))
 
     def predict_stream(self, batches, depth: int = 2):
         """Pipelined inference over an iterable of ``(N, T, V, C)`` batches.
@@ -148,7 +166,7 @@ class Predictor:
         inflight: deque = deque()
         for x in batches:
             fn = self._fn_for(x.shape[0], x.shape[1])
-            xd = jax.device_put(x)                      # async H2D
+            xd = jax.device_put(self._host_cast(x))     # async H2D
             inflight.append(fn(self.params, self.state, xd))  # async dispatch
             if len(inflight) > depth:
                 # blocks only on the OLDEST result; newer batches keep
