@@ -92,26 +92,27 @@ def bench_reference_torch(batch: int = 4, t: int = 64, steps: int = 10) -> dict:
     from network.stgcn import STGCN as RefSTGCN
 
     torch.set_num_threads(os.cpu_count() or 8)
-    # the reference constructor prints; keep stdout clean for the one-line
-    # JSON contract
+    # the reference constructor AND its forward print ("Using dropout",
+    # once per block per call); keep stdout clean for the one-line JSON
+    # contract
     with contextlib.redirect_stdout(sys.stderr):
         model = RefSTGCN(C_in=2, gamma=9, nr_classes=6, edge_importance=False)
-    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
-    crit = torch.nn.CrossEntropyLoss()
-    x = torch.randn(batch, t, 25, 2)
-    y = torch.randint(0, 6, (batch,))
-    # warmup
-    opt.zero_grad()
-    crit(model(x), y).backward()
-    opt.step()
-    best = float("inf")
-    for _ in range(steps):
-        t0 = time.perf_counter()
+        opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+        crit = torch.nn.CrossEntropyLoss()
+        x = torch.randn(batch, t, 25, 2)
+        y = torch.randint(0, 6, (batch,))
+        # warmup
         opt.zero_grad()
-        loss = crit(model(x), y)
-        loss.backward()
+        crit(model(x), y).backward()
         opt.step()
-        best = min(best, time.perf_counter() - t0)
+        best = float("inf")
+        for _ in range(steps):
+            t0 = time.perf_counter()
+            opt.zero_grad()
+            loss = crit(model(x), y)
+            loss.backward()
+            opt.step()
+            best = min(best, time.perf_counter() - t0)
     return {"step_time_s": best, "batch": batch, "t": t}
 
 
