@@ -68,7 +68,10 @@ class STGCNConfig:
     compute_dtype: Any = None         # matmul input dtype (e.g. bfloat16);
                                       # None = same as activations
     spatial_impl: str = "einsum"      # "einsum" (XLA) | "pallas" (fused)
-    temporal_impl: str = "conv"       # "conv" (lax.conv) | "shift_sum" |
+    temporal_impl: str = "auto"       # "auto" = measured-best per backend
+                                      # (conv_vt on TPU, conv elsewhere;
+                                      # PERF_r03.md) |
+                                      # "conv" (lax.conv) | "shift_sum" |
                                       # "pallas" (fused kernel, TPU prod)
                                       # (gamma shifted channel matmuls — keeps
                                       # every hot op C-minor, so XLA stops

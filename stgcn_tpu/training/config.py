@@ -34,10 +34,11 @@ class ModelSection:
     residual: bool = False
     num_layers: int = 10              # 10 (code) or 9 (report variant)
     final_softmax: bool = False
-    temporal_impl: str = "conv"       # conv | auto | pallas | block |
-                                      # shift_sum.  "auto" = measured-best
-                                      # per block (currently conv at every
-                                      # width; see ops/temporal_conv.py).
+    temporal_impl: str = "auto"       # auto | conv | pallas | block |
+                                      # shift_sum.  "auto" (default) =
+                                      # measured-best per backend: conv_vt
+                                      # on TPU (78.0 vs 80.5 ms/step),
+                                      # conv elsewhere (ops/temporal_conv.py).
                                       # NOTE measured on TPU v5e (ntvc, 10-blk
                                       # B=64 T=304): pallas 122 ms vs conv
                                       # 79.5 ms and block 147 ms — both

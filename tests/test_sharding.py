@@ -137,6 +137,12 @@ def test_select_temporal_impl():
     assert select_temporal_impl(make_mesh(8, 1, 1), "pallas") == "conv"
     assert select_temporal_impl(make_mesh(2, 2, 1), "pallas") == "halo"
     assert select_temporal_impl(make_mesh(8, 1, 1), "block") == "block"
+    # "auto" (the config default) under a mesh: conv_vt's layout probe is a
+    # single-chip schedule preference with no GSPMD story — auto degrades
+    # to the conv primitive without time sharding and to the halo exchange
+    # with it
+    assert select_temporal_impl(make_mesh(8, 1, 1), "auto") == "conv"
+    assert select_temporal_impl(make_mesh(2, 2, 1), "auto") == "halo"
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 2, 1), (2, 2, 2)])
