@@ -141,16 +141,31 @@ def main() -> int:
     ours = bench_ours(BATCH, T, precision=precision)
     base = reference_baseline_seq_per_s()
     vs = ours["sequences_per_s"] / base if base else None
-    print(json.dumps({
+    # B=64 stays the headline metric for round-over-round comparability;
+    # B=128 is the product's recommended single-chip config (per-sequence
+    # cost falls ~17% as fixed per-op costs amortize — PERF_r03.md) and is
+    # reported alongside in the same JSON line.
+    out = {
         "metric": f"train_throughput_stgcn10_b64_t304_{precision}",
         "value": round(ours["sequences_per_s"], 2),
         "unit": "sequences/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    }
+    b128 = None
+    if "--no-b128" not in sys.argv:
+        try:
+            b128 = bench_ours(2 * BATCH, T, precision=precision)
+            out["b128_sequences_per_s"] = round(b128["sequences_per_s"], 2)
+            out["b128_vs_baseline"] = (round(b128["sequences_per_s"] / base, 2)
+                                       if base else None)
+        except Exception as e:  # noqa: BLE001 - the headline row must survive
+            print(f"[bench] B=128 row failed: {e}", file=sys.stderr)
+    print(json.dumps(out))
     print(f"[bench] backend={ours['backend']} precision={precision} "
           f"step={ours['step_time_s']*1e3:.1f}ms "
           f"frames/s={ours['frames_per_s']:.0f} "
-          f"reference_cpu_seq_per_s={base and round(base, 3)}",
+          + (f"b128_step={b128['step_time_s']*1e3:.1f}ms " if b128 else "")
+          + f"reference_cpu_seq_per_s={base and round(base, 3)}",
           file=sys.stderr)
     return 0
 

@@ -32,12 +32,19 @@ from stgcn_tpu.training.loop import Trainer
 
 
 def export_stablehlo(model: STGCN, params, model_state, *, batch: int,
-                     seq_len: int, platforms: str = "") -> bytes:
+                     seq_len: int, platforms: str = "",
+                     dynamic_batch: bool = False) -> bytes:
     """Serialize the eval-mode forward (weights baked in) as StableHLO.
 
     The artifact is the counterpart of a torch ``.pt`` + model-code deploy:
     one file, restorable by ``jax.export.deserialize`` alone, runnable on
     every platform it was lowered for.
+
+    By default the artifact is monomorphic in ``(batch, seq_len)`` — calls
+    with any other shape are refused.  ``dynamic_batch=True`` exports with a
+    symbolic batch dimension instead (``jax.export.symbolic_shape``), so one
+    artifact serves any batch size; sequence length stays fixed (the model's
+    strided temporal convs want a static T).
     """
     import jax
     import jax.numpy as jnp
@@ -46,7 +53,11 @@ def export_stablehlo(model: STGCN, params, model_state, *, batch: int,
         logits, _ = model.apply(params, model_state, x, train=False)
         return jax.nn.softmax(logits, axis=-1)
 
-    spec = jax.ShapeDtypeStruct((batch, seq_len, 25, model.config.c_in),
+    if dynamic_batch:
+        (b,) = jax.export.symbolic_shape("b")
+    else:
+        b = batch
+    spec = jax.ShapeDtypeStruct((b, seq_len, 25, model.config.c_in),
                                 jnp.float32)
     plats = tuple(p for p in platforms.split(",") if p) or None
     exp = jax.export.export(jax.jit(fwd), platforms=plats)(spec)
@@ -61,7 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     extra.add_argument("--format", choices=["pt", "npz", "stablehlo"],
                        default=None)
     extra.add_argument("--batch", type=int, default=64,
-                       help="batch size of the stablehlo artifact")
+                       help="batch size of the stablehlo artifact (the "
+                            "artifact is otherwise monomorphic: it refuses "
+                            "any other batch size — see --dynamic-batch)")
+    extra.add_argument("--dynamic-batch", action="store_true",
+                       help="export with a symbolic batch dimension so one "
+                            "stablehlo artifact serves any batch size")
     extra.add_argument("--seq-len", type=int, default=304,
                        help="sequence length of the stablehlo artifact")
     extra.add_argument("--platforms", default="cpu,tpu",
@@ -81,12 +97,14 @@ def main(argv: list[str] | None = None) -> int:
     if fmt == "stablehlo":
         data = export_stablehlo(model, state.params, state.model_state,
                                 batch=args.batch, seq_len=args.seq_len,
-                                platforms=args.platforms)
+                                platforms=args.platforms,
+                                dynamic_batch=args.dynamic_batch)
         with open(args.out, "wb") as f:
             f.write(data)
+        b = "b (symbolic)" if args.dynamic_batch else args.batch
         print(f"exported serialized StableHLO forward "
-              f"(({args.batch}, {args.seq_len}, 25, {model.config.c_in}) -> "
-              f"({args.batch}, {model.config.num_classes})), "
+              f"(({b}, {args.seq_len}, 25, {model.config.c_in}) -> "
+              f"({b}, {model.config.num_classes})), "
               f"{len(data)} bytes to {args.out}")
         return 0
 

@@ -116,6 +116,17 @@ class STGCNConfig:
             raise ValueError(
                 f"temporal_impl must be one of conv/conv_vt/shift_sum/"
                 f"block/pallas/auto, got {self.temporal_impl!r}")
+        if self.layout == "vntc" and self.remat == "selective":
+            # The V-major fused-kernel blocks carry no checkpoint_name tags,
+            # so the selective save-conv-anchors policy would silently become
+            # FULL recompute (a measured perf regression, PERF_r03.md lever
+            # 10) — refuse instead of quietly doing something different from
+            # what was requested (same stance as the vntc mesh guard).
+            raise ValueError(
+                "remat='selective' is not available with layout='vntc' (the "
+                "fused V-major kernels have no checkpoint anchors; it would "
+                "silently degrade to full recompute). Use remat=True for "
+                "full recompute or layout='ntvc' for the selective policy.")
 
 
 class STGCN:
@@ -289,8 +300,9 @@ class STGCN:
                     interpret=interpret, dropout_impl=cfg.dropout_impl)
 
             if cfg.remat and train:
-                # the vm blocks carry no checkpoint_name tags, so
-                # "selective" degrades to full recompute here
+                # only full recompute reaches here: the vm blocks carry no
+                # checkpoint_name tags, so remat="selective" + vntc is
+                # rejected at config validation
                 run_block = jax.checkpoint(run_block)
             h, s = run_block(params["blocks"][i], state["blocks"][i], h,
                              self.adjacency, drop_keys[i])

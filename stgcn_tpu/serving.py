@@ -76,8 +76,11 @@ class Predictor:
         import ml_dtypes
 
         cd = getattr(model.config, "compute_dtype", None)
-        self._transfer_dtype = (np.dtype(ml_dtypes.bfloat16)
-                                if cd == jnp.bfloat16 else None)
+        # normalize dtype-like spellings (jnp.bfloat16, the string
+        # "bfloat16", np.dtype(...)) so a config built outside the CLI parse
+        # path still gets the host-cast optimization
+        is_bf16 = cd is not None and np.dtype(cd) == np.dtype(ml_dtypes.bfloat16)
+        self._transfer_dtype = np.dtype(ml_dtypes.bfloat16) if is_bf16 else None
 
     def _host_cast(self, x: np.ndarray) -> np.ndarray:
         if self._transfer_dtype is not None and x.dtype != self._transfer_dtype:
@@ -165,13 +168,15 @@ class Predictor:
 
         inflight: deque = deque()
         for x in batches:
+            if len(inflight) >= depth:
+                # make room BEFORE staging the next batch so at most
+                # ``depth`` device buffers are ever resident (the stated
+                # contract); this blocks only on the OLDEST result while the
+                # other depth-1 batches keep computing underneath
+                yield np.asarray(inflight.popleft())
             fn = self._fn_for(x.shape[0], x.shape[1])
             xd = jax.device_put(self._host_cast(x))     # async H2D
             inflight.append(fn(self.params, self.state, xd))  # async dispatch
-            if len(inflight) > depth:
-                # blocks only on the OLDEST result; newer batches keep
-                # transferring/computing underneath
-                yield np.asarray(inflight.popleft())
         while inflight:
             yield np.asarray(inflight.popleft())
 
@@ -189,7 +194,9 @@ class Predictor:
             b = bucket_length(seq.shape[0], self.buckets)
             by_bucket.setdefault(b, []).append(i)
 
-        chunks: list[list[int]] = []
+        from collections import deque
+
+        chunks: deque[list[int]] = deque()
 
         def batches():
             # Generator so collation of chunk i+1 overlaps the device work
@@ -209,7 +216,7 @@ class Predictor:
                     yield x
 
         for out in self.predict_stream(batches()):
-            chunk = chunks.pop(0)
+            chunk = chunks.popleft()
             probs[chunk] = out[:len(chunk)]
 
         labels = probs.argmax(axis=1)

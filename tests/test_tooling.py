@@ -316,6 +316,30 @@ class TestExportCLI:
         np.testing.assert_allclose(probs, pred.predict_batch(x),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_export_stablehlo_dynamic_batch(self, synth_env, tmp_path):
+        """--dynamic-batch exports a symbolic-batch artifact: one file
+        serves every batch size (ADVICE r3: the default artifact is
+        monomorphic and refuses other shapes)."""
+        import jax
+
+        root, _ = synth_env
+        from stgcn_tpu.training.checkpoint import latest_checkpoint
+        from stgcn_tpu.cli.export import main as export_main
+
+        ckpt = latest_checkpoint(str(root / "ckpt"))
+        out = tmp_path / "model_dyn.stablehlo"
+        rc = export_main(["--checkpoint", ckpt, "--out", str(out),
+                          "--format", "stablehlo", "--dynamic-batch",
+                          "--seq-len", "64"])
+        assert rc == 0
+        exp = jax.export.deserialize(out.read_bytes())
+        rng = np.random.default_rng(0)
+        for n in (1, 3, 5):
+            x = rng.standard_normal((n, 64, 25, 2)).astype(np.float32)
+            probs = np.asarray(exp.call(x))
+            assert probs.shape == (n, 6)
+            np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
+
     def test_export_pt_loads_in_torch(self, synth_env, tmp_path):
         torch = pytest.importorskip("torch")
         root, _ = synth_env

@@ -210,3 +210,13 @@ class TestVMGuards:
             STGCNConfig(spatial_impl="einsumm")
         with pytest.raises(ValueError, match="temporal_impl"):
             STGCNConfig(temporal_impl="pallas_vm")
+
+    def test_config_rejects_selective_remat_with_vntc(self):
+        """remat='selective' has no checkpoint anchors on the vm path — it
+        would silently become full recompute, so the config refuses the
+        combination (VERDICT r3 weak-7)."""
+        with pytest.raises(ValueError, match="selective"):
+            STGCNConfig(layout="vntc", remat="selective")
+        # the combinations that DO have defined semantics stay accepted
+        STGCNConfig(layout="vntc", remat=True)
+        STGCNConfig(layout="ntvc", remat="selective")
