@@ -74,7 +74,18 @@ def bench_tpu(batches=(64, 256), t=304) -> None:
         }), flush=True)
 
 
-def bench_cpu_mesh(mesh_sizes=(1, 2, 4, 8), batch=32, t=64) -> None:
+def bench_cpu_mesh(mesh_sizes=(1, 2, 4, 8), batch=32, t=64,
+                   weak: bool = False) -> None:
+    """Strong scaling (global batch fixed) or, with ``weak=True``, weak
+    scaling (PER-DEVICE batch fixed at ``batch``).
+
+    The two together attribute the strong-scaling 4->8 regression
+    (SCALING_r03 weak-5): in strong scaling the per-device shard shrinks as
+    the mesh grows, so small-shape inefficiency and per-device dispatch mix
+    with collective cost; in weak scaling the per-device work is constant,
+    so any residual slope IS the mesh overhead (collectives + host-core
+    contention between virtual devices).
+    """
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -98,17 +109,19 @@ def bench_cpu_mesh(mesh_sizes=(1, 2, 4, 8), batch=32, t=64) -> None:
     opt = optax.adam(1e-3)
     base = None
     for n in mesh_sizes:
+        b = batch * n if weak else batch
         mesh = make_mesh(n, 1, 1)
         state, shardings = create_sharded_train_state(model, opt, mesh,
                                                       seed=0)
         step = make_sharded_train_step(model, opt, mesh, shardings)
-        x, y = random_batch(np.random.default_rng(0), batch, t)
+        x, y = random_batch(np.random.default_rng(0), b, t)
         xs, ys = shard_batch(np.asarray(x), np.asarray(y), mesh)
         dt = timed_steps(step, state, xs, ys, steps=5)
-        mf = ModelFlops.of(model, batch, t)
+        mf = ModelFlops.of(model, b, t)
         base = base or dt
         print(json.dumps({
-            "mode": "cpu_virtual_mesh", "devices": n, "batch": batch, "t": t,
+            "mode": "cpu_virtual_mesh_weak" if weak else "cpu_virtual_mesh",
+            "devices": n, "batch": b, "t": t,
             "step_ms": round(dt * 1e3, 2),
             "edges_per_s": round(mf.edges_per_s(dt), 0),
             "step_time_vs_1dev": round(dt / base, 3),
@@ -138,12 +151,19 @@ def _shape_bytes(shape: str) -> int:
     return total
 
 
-def count_collectives(mesh_shape=(2, 2, 2), batch=8, t=32) -> None:
+def count_collectives(mesh_shape=(2, 2, 2), batch=8, t=32,
+                      production: bool = False) -> None:
     """Compile the sharded train step and report per-type collective bytes.
 
     The per-device payload each collective moves per step, from the
     partitioned HLO — the scaling-efficiency denominator (BASELINE.json
-    north star: collective cost must stay under ~20% of step time)."""
+    north star: collective cost must stay under ~20% of step time).
+
+    ``production=True`` analyzes the 10-block production plan at the
+    benchmark shape (B=64, T=304) so the ICI budget is computed against the
+    measured ~80 ms single-chip step rather than a toy (VERDICT r3
+    missing-3).  Compile-only — nothing executes.
+    """
     import collections
     import re
 
@@ -162,9 +182,14 @@ def count_collectives(mesh_shape=(2, 2, 2), batch=8, t=32) -> None:
         shard_batch,
     )
 
-    model = STGCN(STGCNConfig(
-        plan=((16, 1), (32, 2)), strategy=Strategy.DISTANCE, d=1,
-        dropout_rate=0.1, residual=True))
+    if production:
+        batch, t = 64, 304
+        model = STGCN(STGCNConfig(strategy=Strategy.DISTANCE, d=1,
+                                  dropout_rate=0.5, residual=True))
+    else:
+        model = STGCN(STGCNConfig(
+            plan=((16, 1), (32, 2)), strategy=Strategy.DISTANCE, d=1,
+            dropout_rate=0.1, residual=True))
     opt = optax.adam(1e-3)
     mesh = make_mesh(*mesh_shape)
     state, shardings = create_sharded_train_state(model, opt, mesh, seed=0)
@@ -186,7 +211,10 @@ def count_collectives(mesh_shape=(2, 2, 2), batch=8, t=32) -> None:
             counts[base] += 1
             bytes_per[base] += _shape_bytes(shape)
     print(json.dumps({
-        "mode": "collective_bytes", "mesh": list(mesh_shape),
+        "mode": ("collective_bytes_production" if production
+                 else "collective_bytes"),
+        "plan_blocks": len(model.config.plan),
+        "mesh": list(mesh_shape),
         "batch": batch, "t": t,
         "ops": {k: {"count": counts[k], "bytes_per_device_per_step": v}
                 for k, v in sorted(bytes_per.items())},
@@ -197,21 +225,32 @@ def count_collectives(mesh_shape=(2, 2, 2), batch=8, t=32) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-mesh", action="store_true")
+    ap.add_argument("--cpu-mesh-weak", action="store_true",
+                    help="weak scaling: per-device batch fixed (the "
+                         "contention/granularity control for the strong-"
+                         "scaling 4->8 regression)")
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--collectives", action="store_true",
                     help="count collective bytes in the compiled 2x2x2 HLO")
+    ap.add_argument("--production", action="store_true",
+                    help="with --collectives: analyze the PRODUCTION "
+                         "10-block plan at B=64 T=304 instead of the toy")
     args = ap.parse_args()
-    if sum((args.cpu_mesh, args.tpu, args.collectives)) != 1:
-        ap.error("pick exactly one mode: --tpu, --cpu-mesh or --collectives")
-    if args.cpu_mesh or args.collectives:
+    modes = (args.cpu_mesh, args.cpu_mesh_weak, args.tpu, args.collectives)
+    if sum(modes) != 1:
+        ap.error("pick exactly one mode: --tpu, --cpu-mesh, --cpu-mesh-weak "
+                 "or --collectives")
+    if not args.tpu:
         os.environ.setdefault(
             "XLA_FLAGS",
             (os.environ.get("XLA_FLAGS", "") +
              " --xla_force_host_platform_device_count=8").strip())
     if args.cpu_mesh:
         bench_cpu_mesh()
+    elif args.cpu_mesh_weak:
+        bench_cpu_mesh(batch=8, weak=True)
     elif args.collectives:
-        count_collectives()
+        count_collectives(production=args.production)
     else:
         bench_tpu()
     return 0

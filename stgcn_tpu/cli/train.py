@@ -47,11 +47,12 @@ def build_datasets(cfg: ExperimentConfig):
             raise SystemExit(
                 "no --data.metadata_file given; pass --data.synthetic true "
                 "to generate synthetic data")
-        data_dir = os.path.join(tempfile.gettempdir(), "stgcn_synth")
+        suffix = "" if d.synthetic_style == "marginal" else f"_{d.synthetic_style}"
+        data_dir = os.path.join(tempfile.gettempdir(), f"stgcn_synth{suffix}")
         meta_file = os.path.join(data_dir, "metadata.csv")
         if not os.path.exists(meta_file):
             print(f"[data] generating synthetic KTH-format dataset in {data_dir}")
-            generate_dataset(data_dir, seed=d.seed)
+            generate_dataset(data_dir, seed=d.seed, style=d.synthetic_style)
 
     splitter = MetadataSplitter(meta_file)
     if d.data_split == 0:

@@ -69,6 +69,9 @@ class DataSection:
     sort_by_length: bool = True
     use_native_loader: bool = True    # C++ batch loader when built
     synthetic: bool = False           # generate synthetic data if paths empty
+    synthetic_style: str = "marginal"  # "relational" encodes class purely in
+                                      # inter-joint phase structure (the
+                                      # strategy-ablation task)
     seed: int = 0
 
 

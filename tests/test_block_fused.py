@@ -1,0 +1,134 @@
+"""Whole-block megakernel (kernels/block_fused.py) parity tests.
+
+All kernels run in interpreter mode on CPU; the oracle is the ops-layer
+block composition whose own parity vs the torch reference is proven in
+float64 by test_op_parity.py.  Reference op chain being fused:
+src/network/st_graphconv.py:85-109.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stgcn_tpu.graph.adjacency import Strategy, get_normalized_adjacency
+from stgcn_tpu.kernels.block_fused import fused_block_vm
+from stgcn_tpu.models.fused import fused_block_args, fused_eval_forward
+from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+from stgcn_tpu.ops.block import block_forward, init_block
+
+
+@pytest.fixture(scope="module")
+def adjacency():
+    return jnp.asarray(get_normalized_adjacency(Strategy.DISTANCE, 1),
+                       jnp.float32)
+
+
+def _randomized_bn_state(state, rng):
+    """Non-trivial running stats so folded affines actually do something."""
+    return {k: {"mean": jnp.asarray(rng.normal(0, 0.3, v["mean"].shape),
+                                    jnp.float32),
+                "var": jnp.asarray(rng.uniform(0.5, 2.0, v["var"].shape),
+                                   jnp.float32)}
+            for k, v in state.items()}
+
+
+CASES = [
+    # (c_in, c_out, stride, residual)
+    (2, 8, 1, False),      # first-block shape (tiny C_in)
+    (8, 8, 1, False),
+    (8, 16, 2, False),     # strided non-residual
+    (8, 8, 1, True),       # identity shortcut
+    (8, 16, 2, True),      # strided projection shortcut
+    (16, 16, 1, True),
+]
+
+
+class TestFusedBlock:
+    @pytest.mark.parametrize("c_in,c_out,stride,residual", CASES)
+    def test_matches_ops_block_eval(self, adjacency, rng, c_in, c_out,
+                                    stride, residual):
+        params, state = init_block(jax.random.key(1), c_in, c_out, adjacency,
+                                   gamma=9, stride=stride, residual=residual)
+        state = _randomized_bn_state(state, rng)
+        x = jnp.asarray(rng.normal(0, 1, (3, 48, 25, c_in)), jnp.float32)
+        ref, _ = block_forward(params, state, x, adjacency, stride=stride,
+                               residual=residual, train=False)
+        kw = fused_block_args(params, state, adjacency, residual=residual,
+                              c_in=c_in, c_out=c_out, stride=stride)
+        out = fused_block_vm(jnp.transpose(x, (2, 0, 1, 3)), **kw,
+                             interpret=True)
+        got = jnp.transpose(out, (1, 2, 0, 3))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_odd_t_not_multiple_of_16(self, adjacency, rng):
+        """T that is neither a tile multiple nor stride-aligned."""
+        params, state = init_block(jax.random.key(2), 8, 16, adjacency,
+                                   gamma=9, stride=2, residual=False)
+        state = _randomized_bn_state(state, rng)
+        x = jnp.asarray(rng.normal(0, 1, (2, 50, 25, 8)), jnp.float32)
+        ref, _ = block_forward(params, state, x, adjacency, stride=2,
+                               train=False)
+        kw = fused_block_args(params, state, adjacency, residual=False,
+                              c_in=8, c_out=16, stride=2)
+        out = fused_block_vm(jnp.transpose(x, (2, 0, 1, 3)), **kw,
+                             interpret=True)
+        got = jnp.transpose(out, (1, 2, 0, 3))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_bf16_close_to_f32(self, adjacency, rng):
+        params, state = init_block(jax.random.key(3), 8, 8, adjacency,
+                                   gamma=9, residual=True)
+        state = _randomized_bn_state(state, rng)
+        x32 = jnp.asarray(rng.normal(0, 1, (2, 32, 25, 8)), jnp.float32)
+        kw = fused_block_args(params, state, adjacency, residual=True,
+                              c_in=8, c_out=8, stride=1)
+        o32 = fused_block_vm(jnp.transpose(x32, (2, 0, 1, 3)), **kw,
+                             interpret=True)
+        o16 = fused_block_vm(jnp.transpose(x32, (2, 0, 1, 3)).astype(
+            jnp.bfloat16), **kw, interpret=True)
+        np.testing.assert_allclose(np.asarray(o16, np.float32),
+                                   np.asarray(o32), atol=0.15, rtol=0.1)
+
+    def test_rejects_bad_flags(self, adjacency):
+        params, state = init_block(jax.random.key(0), 8, 16, adjacency,
+                                   gamma=9, stride=2)
+        kw = fused_block_args(params, state, adjacency, residual=False,
+                              c_in=8, c_out=16, stride=2)
+        x = jnp.zeros((25, 2, 32, 8), jnp.float32)
+        with pytest.raises(ValueError, match="order"):
+            fused_block_vm(x, **{**kw, "order": "mid"}, interpret=True)
+        with pytest.raises(ValueError, match="identity"):
+            fused_block_vm(x, **{**kw, "shortcut": "id"}, interpret=True)
+        with pytest.raises(ValueError, match="wr"):
+            fused_block_vm(x, **{**kw, "shortcut": "proj"}, interpret=True)
+
+
+class TestFusedModelForward:
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_matches_apply_eval(self, rng, residual):
+        cfg = STGCNConfig(plan=((8, 1), (16, 2), (16, 1)),
+                          strategy=Strategy.DISTANCE, d=1, residual=residual)
+        m = STGCN(cfg)
+        params, state = m.init(jax.random.key(0))
+        x = jnp.asarray(rng.normal(0, 1, (3, 48, 25, 2)), jnp.float32)
+        ref, _ = m.apply(params, state, x, train=False)
+        got = fused_eval_forward(m, params, state, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_final_softmax_quirk(self, rng):
+        """final_softmax=True (reference Q4) flows through the fused path."""
+        cfg = STGCNConfig(plan=((8, 1),), strategy=Strategy.UNI_LABELING,
+                          final_softmax=True)
+        m = STGCN(cfg)
+        params, state = m.init(jax.random.key(0))
+        x = jnp.asarray(rng.normal(0, 1, (2, 32, 25, 2)), jnp.float32)
+        got = fused_eval_forward(m, params, state, x, interpret=True)
+        np.testing.assert_allclose(np.asarray(got).sum(axis=1), 1.0,
+                                   rtol=1e-5)

@@ -387,3 +387,95 @@ class TestPrefetch:
             time.sleep(0.05)
         overlapped = time.time() - t0
         assert overlapped < 0.45  # serial would be ~0.5s + overhead
+
+
+class TestRelationalSynthetic:
+    """The strategy-ablation task (data/synthetic.py relational style):
+    classes must share per-joint marginal statistics and differ only in
+    inter-joint phase relations — otherwise the partitioning ablation
+    cannot discriminate (VERDICT r3 missing-2)."""
+
+    def _clean(self, action, rng, T=256):
+        from stgcn_tpu.data.synthetic import synth_sequence
+
+        # average out per-sequence randomness over several draws
+        return [synth_sequence(action, rng, (T, T + 1), style="relational")
+                for _ in range(6)]
+
+    def test_marginals_match_across_classes(self, rng):
+        from stgcn_tpu.graph.skeleton import KTH_LABELS
+
+        # per-joint velocity energy (diff removes pose offsets and drift)
+        stds = {}
+        for a in KTH_LABELS:
+            seqs = self._clean(a, rng)
+            xy = np.stack([np.diff(s[:, :, :2], axis=0) for s in seqs])
+            stds[a] = np.sqrt((xy ** 2).mean(axis=(0, 1, 3)))  # (V,)
+        ref = stds["boxing"]
+        for a, s in stds.items():
+            # same amplitude distribution -> joint-energy profiles agree
+            np.testing.assert_allclose(s, ref, rtol=0.35,
+                                       err_msg=f"marginals differ for {a}")
+
+    def test_mirror_phase_separates_beta_classes(self, rng):
+        """boxing (beta=0) has mirror pairs in phase; handclapping (beta=1)
+        in anti-phase — the correlation sign flips."""
+        from stgcn_tpu.data.synthetic import synth_sequence
+        from stgcn_tpu.graph.skeleton import OPPOSITE_JOINTS
+
+        def mirror_corr(action):
+            cs = []
+            for _ in range(4):
+                s = synth_sequence(action, rng, (256, 257),
+                                   style="relational")[:, :, :2]
+                v = np.diff(s, axis=0)  # velocities: drift/pose-free
+                for j, k in [(3, 6), (4, 7), (10, 13)]:
+                    # project out the (fixed, per-joint) motion directions:
+                    # scalar oscillation correlation carries the phase sign
+                    a, b = v[:, j].ravel(), v[:, k].ravel()
+                    da = np.linalg.norm(a) * np.linalg.norm(b)
+                    # sign of dir_j . dir_k is a dataset constant; divide it
+                    # out so the class-dependent phase sign is what we read
+                    from stgcn_tpu.data.synthetic import _DIRS
+                    dsign = np.sign(float(_DIRS[j] @ _DIRS[k]))
+                    cs.append(dsign * float(np.dot(a, b)) / da)
+            return np.mean(cs)
+
+        assert mirror_corr("boxing") > 0.4
+        assert mirror_corr("handclapping") < -0.4
+
+    def test_wave_direction_separates_alpha_classes(self, rng):
+        """handwaving (alpha>0) lags down the chain, running (alpha<0) leads:
+        the cross-correlation asymmetry between elbow and wrist flips sign."""
+        from stgcn_tpu.data.synthetic import synth_sequence
+
+        def lead_lag(action):
+            vals = []
+            for _ in range(4):
+                s = synth_sequence(action, rng, (256, 257),
+                                   style="relational")[:, :, :2]
+                s = s - s.mean(axis=0, keepdims=True)
+                e, w = s[:, 3].sum(-1), s[:, 4].sum(-1)  # RElbow, RWrist
+                fwd = float(np.dot(e[:-2], w[2:]))       # elbow leads wrist
+                bwd = float(np.dot(e[2:], w[:-2]))       # wrist leads elbow
+                vals.append(fwd - bwd)
+            return np.mean(vals)
+
+        assert lead_lag("handwaving") * lead_lag("running") < 0
+
+    def test_generate_dataset_style_plumbing(self, tmp_path):
+        from stgcn_tpu.data.synthetic import generate_dataset
+
+        meta = generate_dataset(str(tmp_path), num_subjects=1,
+                                scenarios=("d1",), t_range=(20, 21),
+                                style="relational", skip_one=False)
+        df = pd.read_csv(meta)
+        assert len(df) == 6
+        arr = np.load(os.path.join(str(tmp_path), df.filename[0]))
+        assert arr.shape == (20, 25, 3)
+
+    def test_rejects_unknown_style(self, rng):
+        from stgcn_tpu.data.synthetic import synth_sequence
+
+        with pytest.raises(ValueError, match="style"):
+            synth_sequence("boxing", rng, (20, 21), style="spectral")
