@@ -11,10 +11,13 @@ accuracy plateau; the artifact records the loss curves and final train/val
 accuracy for the judge (VERDICT r2 "What's missing" #1).
 
 Real KTH is not mounted (the reference ships an empty datasets/ dir), so the
-dataset is the class-separable synthetic generator both runtimes share.
+dataset is the RELATIONAL synthetic task (classes separable only through
+inter-joint phase structure — r4: the old marginal task saturated at
+~100% accuracy on both sides, so it could not expose a subtle optimizer
+or BN divergence; VERDICT r3 weak-6).
 
 Runs on CPU (both sides; forces jax to CPU so the TPU stays free) and writes
-CONVERGENCE_r03.json at the repo root.
+CONVERGENCE_r04.json at the repo root.
 
 Usage: python scripts/convergence_headtohead.py [--steps 600] [--batch 8]
 """
@@ -42,7 +45,8 @@ def build_dataset(rng, t: int, per_class_train: int, per_class_val: int):
         xs, ys = [], []
         for a, lbl in KTH_LABELS.items():
             for _ in range(n_per):
-                xs.append(synth_sequence(a, rng, (t, t + 1))[:, :, :2])
+                xs.append(synth_sequence(a, rng, (t, t + 1),
+                                         style="relational")[:, :, :2])
                 ys.append(lbl)
         return np.stack(xs).astype(np.float32), np.asarray(ys, np.int64)
 
@@ -56,7 +60,7 @@ def main() -> int:
     ap.add_argument("--t", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=os.path.join(REPO,
-                                                  "CONVERGENCE_r03.json"))
+                                                  "CONVERGENCE_r04.json"))
     args = ap.parse_args()
 
     import jax

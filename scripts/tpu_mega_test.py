@@ -119,6 +119,41 @@ def stage_fwd(precision: str) -> None:
                                 - la.astype(jnp.float32)))))
 
 
+def stage_step(impl: str, batch: int = 64) -> None:
+    """Full fused train step (bench config) with block_impl=impl."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stgcn_tpu.data.synthetic import random_batch
+    from stgcn_tpu.graph.adjacency import Strategy
+    from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+    from stgcn_tpu.training.loop import make_train_step
+    from stgcn_tpu.training.train_state import create_train_state
+
+    model = STGCN(STGCNConfig(strategy=Strategy.DISTANCE, d=1, residual=True,
+                              dropout_rate=0.5, temporal_impl="auto",
+                              block_impl=impl,
+                              compute_dtype=jnp.bfloat16))
+    opt = optax.adam(1e-3)
+    ts = create_train_state(model, opt, seed=0, rng_impl="rbg")
+    step = make_train_step(model, opt)
+    x, y = random_batch(np.random.default_rng(0), batch, 304)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    for _ in range(3):
+        ts, m = step(ts, x, y)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(20):
+        ts, m = step(ts, x, y)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / 20
+    print(f"train step impl={impl} B={batch}: {dt*1e3:.1f} ms  "
+          f"{batch/dt:.0f} seq/s  loss={float(m['loss']):.4f}")
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "blocks"
     only = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -130,5 +165,9 @@ if __name__ == "__main__":
         stage_fwd("bf16")
     elif stage == "fwd32":
         stage_fwd("f32")
+    elif stage == "step_fused":
+        stage_step("fused", batch=only or 64)
+    elif stage == "step_ops":
+        stage_step("ops", batch=only or 64)
     else:
         raise SystemExit(f"unknown stage {stage}")

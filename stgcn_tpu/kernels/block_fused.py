@@ -282,3 +282,516 @@ def fused_block_vm(x, s1, t1, w, b, a, wt, bt, s2, t2, wr=None, br=None, *,
         interpret=interpret,
     )(*inputs)
     return out[:, :, :t_out, :]
+
+
+# ===========================================================================
+# Training-path split ops: the block as TWO differentiable fused kernels.
+#
+# Train mode cannot run the whole block as one kernel because the second
+# BatchNorm's batch statistics are a global reduction over an interior
+# tensor.  The split keeps every heavy op fused while exposing exactly the
+# tensors BN needs:
+#
+#   residual order:      x -> [stats1] -> spatial_block_vm(relu=True) -> z
+#                          -> [stats2] -> temporal_block_vm(relu=True) -> u
+#                          -> XLA: u + shortcut -> ReLU -> dropout
+#   non-residual order:  x -> [stats1] -> spatial_block_vm(relu=False) -> z
+#                          -> temporal_block_vm(identity affine) -> u
+#                          -> XLA: BN2 -> ReLU -> dropout
+#
+# The BN affines (s, t) enter as DIFFERENTIABLE inputs computed from batch
+# statistics outside (tiny XLA reductions), so the exact BN gradient —
+# including the d(mean)/d(var) terms — flows through ds/dt with no special
+# casing.  Both backward kernels recompute their elementwise prefix from
+# the saved input instead of saving intermediates (VPU recompute is free
+# next to the HBM bytes it avoids; PERF_r03.md).
+# ===========================================================================
+
+
+def _spatial_fwd_kernel(x_ref, s1_ref, t1_ref, w_ref, b_ref, a_ref, out_ref,
+                        *, k_parts: int, relu1: bool, precision=None):
+    v, tm, c_in = x_ref.shape
+    cp = out_ref.shape[-1]
+    h = (x_ref[:].astype(jnp.float32) * s1_ref[:].reshape(1, 1, c_in)
+         + t1_ref[:].reshape(1, 1, c_in))
+    if relu1:
+        h = jnp.maximum(h, 0.0)
+    h2 = h.astype(x_ref.dtype).reshape(v * tm, c_in)
+    acc = jnp.zeros((v, tm * cp), jnp.float32)
+    for kk in range(k_parts):
+        y = jax.lax.dot_general(
+            h2, w_ref[kk], dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        y = (y + b_ref[kk]).astype(x_ref.dtype)
+        acc += jax.lax.dot_general(
+            a_ref[kk], y.reshape(v, tm, cp).reshape(v, tm * cp),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+    out_ref[:] = acc.reshape(v, tm, cp).astype(out_ref.dtype)
+
+
+def _spatial_bwd_kernel(x_ref, g_ref, s1_ref, t1_ref, w_ref, b_ref, a_ref,
+                        dx_ref, dw_ref, db_ref, da_ref, ds1_ref, dt1_ref,
+                        *, k_parts: int, relu1: bool, precision=None):
+    v, tm, c_in = x_ref.shape
+    cp = g_ref.shape[-1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        da_ref[:] = jnp.zeros_like(da_ref)
+        ds1_ref[:] = jnp.zeros_like(ds1_ref)
+        dt1_ref[:] = jnp.zeros_like(dt1_ref)
+
+    s1 = s1_ref[:].reshape(1, 1, c_in)
+    t1 = t1_ref[:].reshape(1, 1, c_in)
+    xf = x_ref[:].astype(jnp.float32)
+    pre = xf * s1 + t1
+    hf = jnp.maximum(pre, 0.0) if relu1 else pre
+    h2 = hf.astype(x_ref.dtype).reshape(v * tm, c_in)
+    g_t = g_ref[:].reshape(v, tm * cp)
+
+    dh_acc = jnp.zeros((v * tm, c_in), jnp.float32)
+    for kk in range(k_parts):
+        t_k = jax.lax.dot_general(
+            a_ref[kk], g_t, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32).astype(g_ref.dtype)
+        t2d = t_k.reshape(v, tm, cp).reshape(v * tm, cp)
+        dh_acc += jax.lax.dot_general(
+            t2d, w_ref[kk], dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        dw_ref[kk] += jax.lax.dot_general(
+            h2, t2d, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        db_ref[kk] += jnp.sum(t2d.astype(jnp.float32), axis=0, keepdims=True)
+        z_k = (jax.lax.dot_general(
+            h2, w_ref[kk], dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32) + b_ref[kk]).astype(
+                x_ref.dtype)
+        z_t = z_k.reshape(v, tm, cp).reshape(v, tm * cp)
+        da_ref[kk] += jax.lax.dot_general(
+            g_t, z_t, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+    dpre = dh_acc.reshape(v, tm, c_in)
+    if relu1:
+        dpre = jnp.where(pre > 0.0, dpre, 0.0)
+    dx_ref[:] = (dpre * s1).astype(dx_ref.dtype)
+    ds1_ref[:] += jnp.sum(dpre * xf, axis=(0, 1), keepdims=False
+                          ).reshape(1, c_in)
+    dt1_ref[:] += jnp.sum(dpre, axis=(0, 1)).reshape(1, c_in)
+
+
+def _spatial_prep(x_vm, w, b, a):
+    """x_vm: (V, M, C_in); pads M to the tile, channels to cp (weights)."""
+    from stgcn_tpu.kernels.spatial_conv import _pick_tile_vm
+
+    v, m, c_in = x_vm.shape
+    k, c_out = b.shape
+    itemsize = jnp.dtype(x_vm.dtype).itemsize
+    cp = _lane_pad(c_out)
+    tile = _pick_tile_vm(m, v, c_in, cp, k, itemsize)
+    mp = _cdiv(m, tile) * tile
+    if mp != m:
+        x_vm = jnp.pad(x_vm, [(0, 0), (0, mp - m), (0, 0)])
+    w2 = jnp.pad(w.transpose(1, 0, 2),
+                 [(0, 0), (0, 0), (0, cp - c_out)]).astype(x_vm.dtype)
+    b2 = jnp.pad(b.reshape(k, 1, c_out),
+                 [(0, 0), (0, 0), (0, cp - c_out)]).astype(x_vm.dtype)
+    return x_vm, w2, b2, a.astype(x_vm.dtype), tile, (v, m, mp, c_in, cp, k,
+                                                      c_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def spatial_block_vm(x, s1, t1, w, b, a, relu1: bool = False,
+                     interpret: bool = False, precision=None):
+    """Fused affine(+ReLU)+spatial-conv: ``(V, N, T, C_in) -> (V, N, T, cp)``.
+
+    The output keeps its channel padding (cp = roundup(C_out, 128), zero
+    lanes) so the downstream temporal kernel consumes it with no relayout;
+    slice ``[..., :C_out]`` for anything user-facing.
+    """
+    return _spatial_block_fwd(x, s1, t1, w, b, a, relu1, interpret,
+                              precision)
+
+
+def _spatial_block_fwd(x, s1, t1, w, b, a, relu1, interpret, precision):
+    v, n, t, c_in = x.shape
+    x2, w2, b2, a2, tile, (v, m, mp, c_in, cp, k, c_out) = _spatial_prep(
+        x.reshape(v, n * t, c_in), w, b, a)
+    kernel = functools.partial(_spatial_fwd_kernel, k_parts=k, relu1=relu1,
+                               precision=precision)
+    out = pl.pallas_call(
+        kernel,
+        grid=(mp // tile,),
+        in_specs=[
+            pl.BlockSpec((v, tile, c_in), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, v, v), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((v, tile, cp), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((v, mp, cp), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * v * c_in * k * cp + 2 * mp * k * v * v * cp,
+            bytes_accessed=(x2.size + mp * v * cp)
+            * jnp.dtype(x.dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, s1.reshape(1, -1).astype(jnp.float32),
+      t1.reshape(1, -1).astype(jnp.float32), w2, b2, a2)
+    out = out[:, :m] if mp != m else out
+    return out.reshape(v, n, t, cp)
+
+
+def _spatial_block_fwd_rule(x, s1, t1, w, b, a, relu1, interpret, precision):
+    return (_spatial_block_fwd(x, s1, t1, w, b, a, relu1, interpret,
+                               precision), (x, s1, t1, w, b, a))
+
+
+def _spatial_block_bwd_rule(relu1, interpret, precision, res, g):
+    x, s1, t1, w, b, a = res
+    v, n, t, c_in = x.shape
+    cp_g = g.shape[-1]
+    x2, w2, b2, a2, tile, (v, m, mp, c_in, cp, k, c_out) = _spatial_prep(
+        x.reshape(v, n * t, c_in), w, b, a)
+    assert cp_g == cp
+    g2 = g.reshape(v, m, cp)
+    if mp != m:
+        g2 = jnp.pad(g2, [(0, 0), (0, mp - m), (0, 0)])
+    kernel = functools.partial(_spatial_bwd_kernel, k_parts=k, relu1=relu1,
+                               precision=precision)
+    dx, dw, db, da, ds1, dt1 = pl.pallas_call(
+        kernel,
+        grid=(mp // tile,),
+        in_specs=[
+            pl.BlockSpec((v, tile, c_in), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, tile, cp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, v, v), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((v, tile, c_in), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, v, v), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((v, mp, c_in), x.dtype),
+            jax.ShapeDtypeStruct((k, c_in, cp), jnp.float32),
+            jax.ShapeDtypeStruct((k, 1, cp), jnp.float32),
+            jax.ShapeDtypeStruct((k, v, v), jnp.float32),
+            jax.ShapeDtypeStruct((1, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((1, c_in), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (2 * mp * v * c_in * k * cp)
+            + 2 * (2 * mp * k * v * v * cp),
+            bytes_accessed=(2 * x2.size + g2.size)
+            * jnp.dtype(x.dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, g2, s1.reshape(1, -1).astype(jnp.float32),
+      t1.reshape(1, -1).astype(jnp.float32), w2, b2, a2)
+    if mp != m:
+        dx = dx[:, :m]
+    dw = dw[:, :, :c_out].transpose(1, 0, 2)
+    db = db[:, 0, :c_out]
+    return (dx.reshape(v, n, t, c_in),
+            ds1.reshape(s1.shape).astype(s1.dtype),
+            dt1.reshape(t1.shape).astype(t1.dtype),
+            dw.astype(w.dtype), db.astype(b.dtype), da.astype(a.dtype))
+
+
+spatial_block_vm.defvjp(_spatial_block_fwd_rule, _spatial_block_bwd_rule)
+
+
+def _tmerge_mask(tpm: int, tc: int, ci: int, stride: int, cp: int,
+                 pad_l: int, t_valid: int):
+    """(1, tc, stride*cp) validity mask over the parity-merged layout:
+    merged row m, lane-half q hold original frame stride*m + q."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, tc, stride * cp), 1)
+    half = jax.lax.broadcasted_iota(jnp.int32, (1, tc, stride * cp), 2) // cp
+    f = stride * (row + ci * tc) + half
+    return (f >= pad_l) & (f < pad_l + t_valid)
+
+
+def _temporal_fwd_kernel(z_ref, s2_ref, t2_ref, wt_ref, bt_ref, out_ref,
+                         zh_scr, *, gamma: int, stride: int, pad_l: int,
+                         t_valid: int, t_out_p: int, tc: int, relu2: bool,
+                         precision=None):
+    v, _, tp, cp = z_ref.shape
+    c_out = out_ref.shape[-1]
+    tpm = tp // stride
+    zm = z_ref[:].reshape(v, tp, cp).reshape(v, tpm, stride * cp)
+    s2 = s2_ref[:].reshape(1, 1, cp)
+    t2 = t2_ref[:].reshape(1, 1, cp)
+    s2m = jnp.concatenate([s2] * stride, axis=2)
+    t2m = jnp.concatenate([t2] * stride, axis=2)
+    cdtype = z_ref.dtype
+
+    for ci in range(tpm // tc):
+        zc = zm[:, ci * tc:(ci + 1) * tc, :].astype(jnp.float32)
+        h = zc * s2m + t2m
+        if relu2:
+            h = jnp.maximum(h, 0.0)
+        # zero padding frames AFTER the elementwise chain (the temporal
+        # conv's zero padding applies at the post-activation level)
+        m = _tmerge_mask(tpm, tc, ci, stride, cp, pad_l, t_valid)
+        zh_scr[:, ci * tc:(ci + 1) * tc, :] = jnp.where(m, h, 0.0).astype(
+            cdtype)
+
+    acc = jnp.zeros((v * t_out_p, cp), jnp.float32)
+    zh = zh_scr[:]
+    for g in range(gamma):
+        off, lane = g // stride, (g % stride) * cp
+        zg = zh[:, off:off + t_out_p, lane:lane + cp]
+        acc += jax.lax.dot_general(
+            zg.reshape(v * t_out_p, cp), wt_ref[g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+    u = acc.reshape(v, t_out_p, cp) + bt_ref[:].reshape(1, 1, cp)
+    out_ref[:] = u[:, :, :c_out].reshape(v, 1, t_out_p, c_out).astype(
+        out_ref.dtype)
+
+
+def _temporal_bwd_kernel(z_ref, g_ref, s2_ref, t2_ref, wt_ref, dz_ref,
+                         dwt_ref, dbt_ref, ds2_ref, dt2_ref, zh_scr, dzh_scr,
+                         *, gamma: int, stride: int, pad_l: int,
+                         t_valid: int, t_out_p: int, tc: int, relu2: bool,
+                         precision=None):
+    v, _, tp, cp = z_ref.shape
+    tpm = tp // stride
+    cdtype = z_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwt_ref[:] = jnp.zeros_like(dwt_ref)
+        dbt_ref[:] = jnp.zeros_like(dbt_ref)
+        ds2_ref[:] = jnp.zeros_like(ds2_ref)
+        dt2_ref[:] = jnp.zeros_like(dt2_ref)
+
+    zm = z_ref[:].reshape(v, tp, cp).reshape(v, tpm, stride * cp)
+    s2 = s2_ref[:].reshape(1, 1, cp)
+    t2 = t2_ref[:].reshape(1, 1, cp)
+    s2m = jnp.concatenate([s2] * stride, axis=2)
+    t2m = jnp.concatenate([t2] * stride, axis=2)
+
+    # recompute the post-activation temporal input
+    for ci in range(tpm // tc):
+        zc = zm[:, ci * tc:(ci + 1) * tc, :].astype(jnp.float32)
+        h = zc * s2m + t2m
+        if relu2:
+            h = jnp.maximum(h, 0.0)
+        m = _tmerge_mask(tpm, tc, ci, stride, cp, pad_l, t_valid)
+        zh_scr[:, ci * tc:(ci + 1) * tc, :] = jnp.where(m, h, 0.0).astype(
+            cdtype)
+
+    dzh_scr[:] = jnp.zeros_like(dzh_scr)
+    gm = g_ref[:].reshape(v, t_out_p, cp)
+    g2d = gm.reshape(v * t_out_p, cp).astype(cdtype)
+    dbt_ref[:] += jnp.sum(gm.astype(jnp.float32), axis=(0, 1)).reshape(1, cp)
+    zh = zh_scr[:]
+    for g in range(gamma):
+        off, lane = g // stride, (g % stride) * cp
+        zg = zh[:, off:off + t_out_p, lane:lane + cp].reshape(
+            v * t_out_p, cp)
+        dwt_ref[g] += jax.lax.dot_general(
+            zg, g2d, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        dtap = jax.lax.dot_general(
+            g2d, wt_ref[g], dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        dzh_scr[:, off:off + t_out_p, lane:lane + cp] += dtap.reshape(
+            v, t_out_p, cp)
+
+    # backprop the elementwise prefix, chunked over the merged layout
+    for ci in range(tpm // tc):
+        zc = zm[:, ci * tc:(ci + 1) * tc, :].astype(jnp.float32)
+        pre = zc * s2m + t2m
+        dh = dzh_scr[:, ci * tc:(ci + 1) * tc, :]
+        m = _tmerge_mask(tpm, tc, ci, stride, cp, pad_l, t_valid)
+        dprec = jnp.where(m, dh, 0.0)
+        if relu2:
+            dprec = jnp.where(pre > 0.0, dprec, 0.0)
+        dz_ref[:, 0, ci * tc:(ci + 1) * tc, :] = (dprec * s2m).astype(
+            dz_ref.dtype)
+        sums = jnp.sum(dprec * zc, axis=(0, 1)).reshape(stride, cp)
+        ds2_ref[:] += jnp.sum(sums, axis=0, keepdims=True)
+        sumt = jnp.sum(dprec, axis=(0, 1)).reshape(stride, cp)
+        dt2_ref[:] += jnp.sum(sumt, axis=0, keepdims=True)
+
+
+def _temporal_plan(t: int, gamma: int, stride: int):
+    pad_l = (gamma - 1) // 2
+    t_out = (t + 2 * pad_l - gamma) // stride + 1
+    t_out_p = _roundup(t_out, 16)
+    tc = 64
+    tpm = _roundup(max(_cdiv(pad_l + t, stride),
+                       (t_out_p - 1) + _cdiv(gamma, stride)), tc)
+    return pad_l, t_out, t_out_p, tc, tpm * stride
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def temporal_block_vm(z, s2, t2, wt, bt, stride: int = 1,
+                      relu2: bool = False, interpret: bool = False,
+                      precision=None):
+    """Fused affine(+ReLU)+temporal-conv: ``(V, N, T, cp) -> (V, N, T', C)``.
+
+    ``z`` arrives channel-padded (cp lanes, as spatial_block_vm produces);
+    ``wt (gamma, C, C)``, ``bt/s2/t2 (C,)`` are padded host-side.
+    """
+    return _temporal_block_fwd(z, s2, t2, wt, bt, stride, relu2, interpret,
+                               precision)
+
+
+def _temporal_prep(z, wt, bt, s2, t2, stride):
+    v, n, t, cp = z.shape
+    gamma, _, c_out = wt.shape
+    if cp % 128:
+        raise ValueError(f"z channel dim must be lane-padded, got {cp}")
+    pad_l, t_out, t_out_p, tc, tp = _temporal_plan(t, gamma, stride)
+    zp = jnp.pad(z, [(0, 0), (0, 0), (pad_l, tp - t - pad_l), (0, 0)])
+    wt2 = jnp.pad(wt, [(0, 0), (0, cp - c_out), (0, cp - c_out)]).astype(
+        z.dtype)
+    pad1 = lambda p: jnp.pad(p.reshape(1, -1),  # noqa: E731
+                             [(0, 0), (0, cp - c_out)]).astype(jnp.float32)
+    return (zp, wt2, pad1(bt), pad1(s2), pad1(t2),
+            (v, n, t, cp, gamma, c_out, pad_l, t_out, t_out_p, tc, tp))
+
+
+def _temporal_block_fwd(z, s2, t2, wt, bt, stride, relu2, interpret,
+                        precision):
+    zp, wt2, bt2, s22, t22, dims = _temporal_prep(z, wt, bt, s2, t2, stride)
+    v, n, t, cp, gamma, c_out, pad_l, t_out, t_out_p, tc, tp = dims
+    kernel = functools.partial(
+        _temporal_fwd_kernel, gamma=gamma, stride=stride, pad_l=pad_l,
+        t_valid=t, t_out_p=t_out_p, tc=tc, relu2=relu2, precision=precision)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((v, 1, tp, cp), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gamma, cp, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((v, 1, t_out_p, c_out),
+                               lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((v, n, t_out_p, c_out), z.dtype),
+        scratch_shapes=[pltpu.VMEM((v, tp // stride, stride * cp), z.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * t_out * v * gamma * cp * cp,
+            bytes_accessed=(zp.size + v * n * t_out_p * c_out)
+            * jnp.dtype(z.dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(zp, s22, t22, wt2, bt2)
+    return out[:, :, :t_out, :]
+
+
+def _temporal_block_fwd_rule(z, s2, t2, wt, bt, stride, relu2, interpret,
+                             precision):
+    return (_temporal_block_fwd(z, s2, t2, wt, bt, stride, relu2, interpret,
+                                precision), (z, s2, t2, wt, bt))
+
+
+def _temporal_block_bwd_rule(stride, relu2, interpret, precision, res, g):
+    z, s2, t2, wt, bt = res
+    zp, wt2, bt2, s22, t22, dims = _temporal_prep(z, wt, bt, s2, t2, stride)
+    v, n, t, cp, gamma, c_out, pad_l, t_out, t_out_p, tc, tp = dims
+    gp = jnp.pad(g, [(0, 0), (0, 0), (0, t_out_p - t_out),
+                     (0, cp - c_out)]).astype(z.dtype)
+    kernel = functools.partial(
+        _temporal_bwd_kernel, gamma=gamma, stride=stride, pad_l=pad_l,
+        t_valid=t, t_out_p=t_out_p, tc=tc, relu2=relu2, precision=precision)
+    dz, dwt, dbt, ds2, dt2 = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((v, 1, tp, cp), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, 1, t_out_p, cp), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gamma, cp, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((v, 1, tp // stride, stride * cp),
+                         lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gamma, cp, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((v, n, tp // stride, stride * cp), z.dtype),
+            jax.ShapeDtypeStruct((gamma, cp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((1, cp), jnp.float32),
+            jax.ShapeDtypeStruct((1, cp), jnp.float32),
+            jax.ShapeDtypeStruct((1, cp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((v, tp // stride, stride * cp), z.dtype),
+            pltpu.VMEM((v, tp // stride, stride * cp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (2 * n * t_out * v * gamma * cp * cp),
+            bytes_accessed=(2 * zp.size + gp.size)
+            * jnp.dtype(z.dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(zp, gp, s22, t22, wt2)
+    # (V, N, tp/S, S*cp) is contiguous-identical to (V, N, tp, cp)
+    dz = dz.reshape(v, n, tp, cp)[:, :, pad_l:pad_l + t, :]
+    dwt = dwt[:, :c_out, :c_out]
+    return (dz, ds2[0, :c_out].astype(s2.dtype),
+            dt2[0, :c_out].astype(t2.dtype), dwt.astype(wt.dtype),
+            dbt[0, :c_out].astype(bt.dtype))
+
+
+temporal_block_vm.defvjp(_temporal_block_fwd_rule, _temporal_block_bwd_rule)

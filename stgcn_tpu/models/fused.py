@@ -73,3 +73,131 @@ def fused_eval_forward(model, params, state, x, *, interpret: bool = False,
     if cfg.final_softmax:
         logits = jax.nn.softmax(logits, axis=-1)
     return logits
+
+
+# ---------------------------------------------------------------------------
+# training path: the block as two fused ops + exact BatchNorm outside
+# ---------------------------------------------------------------------------
+
+
+def _bn_affine_train(bn_params, bn_state, x, *, momentum=0.1, eps=1e-5):
+    """Batch-stat BN as a differentiable per-channel affine.
+
+    Reduces over all leading axes of ``x`` (channels last), reproducing
+    ops/batchnorm.batchnorm semantics exactly: float32 statistics, biased
+    variance for normalization, unbiased variance into the running buffer.
+    The returned (s, t) are functions of x through mean/var, so autodiff
+    recovers the full BN gradient through the fused kernels' ds/dt.
+    """
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    unbiased = var * (n / max(n - 1, 1))
+    new_state = {
+        "mean": (1 - momentum) * bn_state["mean"]
+        + momentum * jax.lax.stop_gradient(mean),
+        "var": (1 - momentum) * bn_state["var"]
+        + momentum * jax.lax.stop_gradient(unbiased),
+    }
+    s = bn_params["scale"].astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+    t = bn_params["offset"].astype(jnp.float32) - mean * s
+    return s, t, new_state
+
+
+def block_forward_fused_train(bp, bs, x, adjacency, *, stride: int,
+                              residual: bool, dropout_rate: float = 0.0,
+                              dropout_rng=None, dropout_impl: str = "exact",
+                              interpret: bool = False, precision=None):
+    """One ST-GCN block, train mode, on V-major ``(V, N, T, C_in)``.
+
+    Two fused Pallas ops (kernels/block_fused.spatial_block_vm /
+    temporal_block_vm) carry all matmul work with the BN affines as
+    differentiable inputs; the batch-stat reductions, shortcut add, final
+    ReLU and dropout are XLA elementwise passes that fuse together.
+    Parameters are IDENTICAL to init_block's.
+    """
+    from stgcn_tpu.kernels.block_fused import (
+        spatial_block_vm,
+        temporal_block_vm,
+    )
+    from stgcn_tpu.ops.block import effective_adjacency
+    from stgcn_tpu.ops.common import dropout as dropout_op
+
+    A = effective_adjacency(bp, adjacency).astype(x.dtype)
+    wt = bp["temporal"]["w"][:, 0]
+    c_out = wt.shape[-1]
+    new_state = {}
+    s1, t1, new_state["bn1"] = _bn_affine_train(bp["bn1"], bs["bn1"], x)
+
+    z = spatial_block_vm(x, s1, t1, bp["spatial"]["w"].astype(x.dtype),
+                         bp["spatial"]["b"].astype(x.dtype), A,
+                         residual, interpret, precision)
+    if residual:
+        s2, t2, new_state["bn2"] = _bn_affine_train(
+            bp["bn2"], bs["bn2"], z[..., :c_out])
+        u = temporal_block_vm(z, s2, t2, wt.astype(x.dtype),
+                              bp["temporal"]["b"].astype(jnp.float32),
+                              stride, True, interpret, precision)
+        if "residual_proj" in bp:
+            rp = bp["residual_proj"]
+            short = x[:, :, ::stride] if stride != 1 else x
+            short = (jnp.einsum("vnti,io->vnto", short,
+                                rp["w"].astype(x.dtype),
+                                precision=precision)
+                     + rp["b"].astype(x.dtype))
+        else:
+            short = x
+        out = jax.nn.relu(u.astype(jnp.float32)
+                          + short.astype(jnp.float32)).astype(x.dtype)
+    else:
+        ident_s = jnp.ones((c_out,), jnp.float32)
+        ident_t = jnp.zeros((c_out,), jnp.float32)
+        u = temporal_block_vm(z, ident_s, ident_t, wt.astype(x.dtype),
+                              bp["temporal"]["b"].astype(jnp.float32),
+                              stride, False, interpret, precision)
+        from stgcn_tpu.ops.batchnorm import batchnorm
+
+        out, new_state["bn2"] = batchnorm(bp["bn2"], bs["bn2"], u, train=True)
+        out = jax.nn.relu(out)
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 in train mode needs rng")
+        out = dropout_op(dropout_rng, out, dropout_rate, train=True,
+                         impl=dropout_impl)
+    return out, new_state
+
+
+def fused_train_forward(model, params, state, x, *, rng=None,
+                        interpret: bool = False, precision=None):
+    """Train-mode logits + new model state via the fused block ops."""
+    cfg = model.config
+    x = x.astype(cfg.compute_dtype or cfg.dtype)
+    n_blocks = len(cfg.plan)
+    if cfg.dropout_rate > 0:
+        if rng is None:
+            raise ValueError("training with dropout needs rng")
+        drop_keys = list(jax.random.split(rng, n_blocks))
+    else:
+        drop_keys = [None] * n_blocks
+
+    h = jnp.transpose(x, (2, 0, 1, 3))  # (V, N, T, C)
+    new_blocks_s = []
+    for i, (c_out, stride) in enumerate(cfg.plan):
+        h, s = block_forward_fused_train(
+            params["blocks"][i], state["blocks"][i], h, model.adjacency,
+            stride=stride, residual=cfg.residual,
+            dropout_rate=cfg.dropout_rate, dropout_rng=drop_keys[i],
+            dropout_impl=cfg.dropout_impl, interpret=interpret,
+            precision=precision)
+        new_blocks_s.append(s)
+
+    acc = jnp.promote_types(h.dtype, jnp.float32)
+    pooled = jnp.mean(h.astype(acc), axis=(0, 2))
+    logits = linear(params["fc"], pooled.astype(h.dtype), precision=precision)
+    if cfg.final_softmax:
+        logits = jax.nn.softmax(logits, axis=-1)
+    return logits, {"blocks": new_blocks_s}

@@ -78,6 +78,14 @@ class STGCNConfig:
                                       # inserting layout copies between the
                                       # conv's T-minor layout and the
                                       # matmul/reduce C-minor layout)
+    block_impl: str = "ops"           # "fused" = whole-block Pallas kernels
+                                      # (kernels/block_fused.py): eval runs
+                                      # one megakernel per block, train runs
+                                      # the affine+spatial / affine+temporal
+                                      # fused pair with custom VJPs and
+                                      # exact-BN affines computed outside.
+                                      # Single-chip only (pallas_call is
+                                      # opaque to GSPMD).
     layout: str = "ntvc"              # "vntc" = V-major single-chip TPU
                                       # production mode: activations run as
                                       # (V, N, T, C) through fused V-major
@@ -116,6 +124,18 @@ class STGCNConfig:
             raise ValueError(
                 f"temporal_impl must be one of conv/conv_vt/shift_sum/"
                 f"block/pallas/auto, got {self.temporal_impl!r}")
+        if self.block_impl not in ("ops", "fused"):
+            raise ValueError(
+                f"block_impl must be 'ops' or 'fused', got {self.block_impl!r}")
+        if self.block_impl == "fused":
+            if self.layout != "ntvc":
+                raise ValueError(
+                    "block_impl='fused' is its own fused V-major path; use "
+                    "it with the default layout='ntvc' input convention")
+            if self.remat:
+                raise ValueError(
+                    "block_impl='fused' has recompute built into its custom "
+                    "VJPs; remat must stay False")
         if self.layout == "vntc" and self.remat == "selective":
             # The V-major fused-kernel blocks carry no checkpoint_name tags,
             # so the selective save-conv-anchors policy would silently become
@@ -191,6 +211,28 @@ class STGCN:
         cfg = self.config
         if temporal_impl is None:
             temporal_impl = cfg.temporal_impl
+        if cfg.block_impl == "fused":
+            # Whole-block Pallas kernels: single-chip only (pallas_call is
+            # opaque to GSPMD), fixed dense layout (no time_mask support).
+            if (bn_axis_names is not None or constrain is not None
+                    or callable(temporal_impl) or time_mask is not None):
+                raise ValueError(
+                    "block_impl='fused' cannot compose with mesh sharding "
+                    "hooks or time_mask; use block_impl='ops' for sharded "
+                    "or masked runs")
+            from stgcn_tpu.models.fused import (
+                fused_eval_forward,
+                fused_train_forward,
+            )
+
+            interpret = jax.default_backend() != "tpu"
+            if train:
+                return fused_train_forward(self, params, state, x, rng=rng,
+                                           interpret=interpret,
+                                           precision=precision)
+            return (fused_eval_forward(self, params, state, x,
+                                       interpret=interpret,
+                                       precision=precision), state)
         if cfg.compute_dtype is not None:
             # Mixed precision: cast params and activations to the compute
             # dtype ONCE here, so activations live in (and move through HBM

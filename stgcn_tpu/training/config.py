@@ -47,6 +47,9 @@ class ModelSection:
                                       # fast fused kernels live in the vntc
                                       # layout, not here.
     spatial_impl: str = "einsum"      # einsum | pallas
+    block_impl: str = "ops"           # ops | fused (whole-block Pallas
+                                      # kernels with custom VJPs; single-chip
+                                      # TPU production mode)
     layout: str = "ntvc"              # ntvc | vntc (V-major fused TPU mode;
                                       # single-chip only — sharded runs must
                                       # use ntvc).  Validated by
@@ -270,6 +273,7 @@ def model_config_from(cfg: ExperimentConfig) -> "Any":
         compute_dtype=compute_dtype,
         temporal_impl=m.temporal_impl,
         spatial_impl=m.spatial_impl,
+        block_impl=m.block_impl,
         layout=m.layout,
         remat=cfg.parallel.remat,
     )

@@ -132,3 +132,139 @@ class TestFusedModelForward:
         got = fused_eval_forward(m, params, state, x, interpret=True)
         np.testing.assert_allclose(np.asarray(got).sum(axis=1), 1.0,
                                    rtol=1e-5)
+
+
+class TestFusedTrainOps:
+    """The split train ops (spatial_block_vm / temporal_block_vm): value and
+    gradient parity vs pure-JAX oracles, interpret mode."""
+
+    def test_spatial_block_grads(self, adjacency, rng):
+        from stgcn_tpu.kernels.block_fused import spatial_block_vm
+
+        V, N, T, K, c_in, c_out = 25, 2, 32, adjacency.shape[0], 8, 16
+        x = jnp.asarray(rng.normal(0, 1, (V, N, T, c_in)), jnp.float32)
+        s1 = jnp.asarray(rng.uniform(0.5, 1.5, c_in), jnp.float32)
+        t1 = jnp.asarray(rng.normal(0, 0.3, c_in), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.3, (c_in, K, c_out)), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 0.3, (K, c_out)), jnp.float32)
+        ct = jnp.asarray(rng.normal(0, 1, (V, N, T, c_out)), jnp.float32)
+
+        def oracle(x, s1, t1, w, b, a):
+            h = jax.nn.relu(x * s1 + t1)
+            y = jnp.einsum("wnti,iko->knwto", h, w) \
+                + b[:, None, None, None, :]
+            return jnp.einsum("kvw,knwto->vnto", a, y)
+
+        def f_ker(*args):
+            z = spatial_block_vm(*args, True, True)
+            return jnp.sum(z[..., :c_out] * ct)
+
+        def f_ora(*args):
+            return jnp.sum(oracle(*args) * ct)
+
+        args = (x, s1, t1, w, b, adjacency)
+        vk, gk = jax.value_and_grad(f_ker, argnums=tuple(range(6)))(*args)
+        vo, go = jax.value_and_grad(f_ora, argnums=tuple(range(6)))(*args)
+        np.testing.assert_allclose(float(vk), float(vo), rtol=1e-5)
+        for p, q in zip(gk, go):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                       rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.parametrize("stride,relu2", [(1, True), (2, True),
+                                              (2, False)])
+    def test_temporal_block_grads(self, rng, stride, relu2):
+        from stgcn_tpu.kernels.block_fused import temporal_block_vm
+
+        V, N, T, c = 25, 2, 32, 16
+        cp = 128
+        z = jnp.asarray(np.pad(rng.normal(0, 1, (V, N, T, c)),
+                               [(0, 0), (0, 0), (0, 0), (0, cp - c)]),
+                        jnp.float32)
+        s2 = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32)
+        t2 = jnp.asarray(rng.normal(0, 0.3, c), jnp.float32)
+        wt = jnp.asarray(rng.normal(0, 0.3, (9, c, c)), jnp.float32)
+        bt = jnp.asarray(rng.normal(0, 0.3, c), jnp.float32)
+        t_out = (T + 8 - 9) // stride + 1
+        ct = jnp.asarray(rng.normal(0, 1, (V, N, t_out, c)), jnp.float32)
+
+        def oracle(z, s2, t2, wt, bt):
+            h = z[..., :c] * s2 + t2
+            if relu2:
+                h = jax.nn.relu(h)
+            hp = jnp.pad(h, [(0, 0), (0, 0), (4, 4), (0, 0)])
+            out = 0
+            for g in range(9):
+                tap = hp[:, :, g:g + stride * t_out:stride, :]
+                out = out + jnp.einsum("vnti,io->vnto", tap, wt[g])
+            return out + bt
+
+        def f_ker(*args):
+            return jnp.sum(temporal_block_vm(*args, stride, relu2, True)
+                           * ct)
+
+        def f_ora(*args):
+            return jnp.sum(oracle(*args) * ct)
+
+        args = (z, s2, t2, wt, bt)
+        vk, gk = jax.value_and_grad(f_ker, argnums=tuple(range(5)))(*args)
+        vo, go = jax.value_and_grad(f_ora, argnums=tuple(range(5)))(*args)
+        np.testing.assert_allclose(float(vk), float(vo), rtol=1e-5,
+                                   atol=1e-4)
+        go = list(go)
+        go[0] = jnp.pad(go[0][..., :c],
+                        [(0, 0), (0, 0), (0, 0), (0, cp - c)])
+        for p, q in zip(gk, go):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                       rtol=1e-3, atol=1e-3)
+
+
+class TestFusedTrainPath:
+    """block_impl='fused' end to end: identical training trajectory to the
+    ops path from identical init (loss + BN running stats)."""
+
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_trajectory_matches_ops(self, rng, residual):
+        import dataclasses as dc
+
+        import optax
+
+        from stgcn_tpu.data.synthetic import random_batch
+        from stgcn_tpu.training.loop import make_train_step
+        from stgcn_tpu.training.train_state import create_train_state
+
+        nrng = np.random.default_rng(0)
+        x, y = random_batch(nrng, 4, 32)
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        base = STGCNConfig(plan=((8, 1), (16, 2), (16, 1)),
+                           strategy=Strategy.DISTANCE, d=1,
+                           residual=residual)
+        out = {}
+        for impl in ("ops", "fused"):
+            m = STGCN(dc.replace(base, block_impl=impl))
+            ts = create_train_state(m, optax.adam(1e-3), seed=0)
+            step = make_train_step(m, optax.adam(1e-3), donate=False)
+            losses = []
+            for _ in range(3):
+                ts, met = step(ts, x, y)
+                losses.append(float(met["loss"]))
+            out[impl] = (losses, ts.model_state)
+        np.testing.assert_allclose(out["fused"][0], out["ops"][0],
+                                   rtol=2e-3, atol=2e-4)
+        a = out["ops"][1]["blocks"][1]["bn1"]["mean"]
+        b = out["fused"][1]["blocks"][1]["bn1"]["mean"]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_fused_guards(self):
+        with pytest.raises(ValueError, match="block_impl"):
+            STGCNConfig(block_impl="mega")
+        with pytest.raises(ValueError, match="remat"):
+            STGCNConfig(block_impl="fused", remat=True)
+        with pytest.raises(ValueError, match="ntvc"):
+            STGCNConfig(block_impl="fused", layout="vntc")
+        m = STGCN(STGCNConfig(plan=((8, 1),), strategy=Strategy.DISTANCE,
+                              block_impl="fused"))
+        params, state = m.init(jax.random.key(0))
+        x = jnp.zeros((2, 16, 25, 2), jnp.float32)
+        with pytest.raises(ValueError, match="fused"):
+            m.apply(params, state, x, time_mask=jnp.ones((2, 16)))
