@@ -154,6 +154,33 @@ def stage_step(impl: str, batch: int = 64) -> None:
           f"{batch/dt:.0f} seq/s  loss={float(m['loss']):.4f}")
 
 
+def stage_cost() -> None:
+    """XLA cost analysis (FLOPs + bytes accessed) of both train steps."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stgcn_tpu.data.synthetic import random_batch
+    from stgcn_tpu.graph.adjacency import Strategy
+    from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+    from stgcn_tpu.training.loop import make_train_step
+    from stgcn_tpu.training.train_state import create_train_state
+
+    x, y = random_batch(np.random.default_rng(0), 64, 304)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    for impl in ("ops", "fused"):
+        model = STGCN(STGCNConfig(strategy=Strategy.DISTANCE, d=1,
+                                  residual=True, dropout_rate=0.5,
+                                  temporal_impl="auto", block_impl=impl,
+                                  compute_dtype=jnp.bfloat16))
+        opt = optax.adam(1e-3)
+        ts = create_train_state(model, opt, seed=0, rng_impl="rbg")
+        step = make_train_step(model, opt, donate=False)
+        ca = step.lower(ts, x, y).compile().cost_analysis()
+        print(f"impl={impl}: flops={ca.get('flops', 0)/1e9:.0f} GF  "
+              f"bytes={ca.get('bytes accessed', 0)/1e9:.2f} GB")
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "blocks"
     only = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -169,5 +196,7 @@ if __name__ == "__main__":
         stage_step("fused", batch=only or 64)
     elif stage == "step_ops":
         stage_step("ops", batch=only or 64)
+    elif stage == "cost":
+        stage_cost()
     else:
         raise SystemExit(f"unknown stage {stage}")

@@ -379,9 +379,11 @@ def _spatial_bwd_kernel(x_ref, g_ref, s1_ref, t1_ref, w_ref, b_ref, a_ref,
     if relu1:
         dpre = jnp.where(pre > 0.0, dpre, 0.0)
     dx_ref[:] = (dpre * s1).astype(dx_ref.dtype)
-    ds1_ref[:] += jnp.sum(dpre * xf, axis=(0, 1), keepdims=False
-                          ).reshape(1, c_in)
-    dt1_ref[:] += jnp.sum(dpre, axis=(0, 1)).reshape(1, c_in)
+    # reductions to (1, C) via leading merge + keepdims: Mosaic rejects
+    # 1D -> 2D vector reshapes ("unsupported shape cast")
+    ds1_ref[:] += jnp.sum((dpre * xf).reshape(v * tm, c_in), axis=0,
+                          keepdims=True)
+    dt1_ref[:] += jnp.sum(dpre.reshape(v * tm, c_in), axis=0, keepdims=True)
 
 
 def _spatial_prep(x_vm, w, b, a):
@@ -623,7 +625,8 @@ def _temporal_bwd_kernel(z_ref, g_ref, s2_ref, t2_ref, wt_ref, dz_ref,
     dzh_scr[:] = jnp.zeros_like(dzh_scr)
     gm = g_ref[:].reshape(v, t_out_p, cp)
     g2d = gm.reshape(v * t_out_p, cp).astype(cdtype)
-    dbt_ref[:] += jnp.sum(gm.astype(jnp.float32), axis=(0, 1)).reshape(1, cp)
+    dbt_ref[:] += jnp.sum(gm.reshape(v * t_out_p, cp).astype(jnp.float32),
+                          axis=0, keepdims=True)
     zh = zh_scr[:]
     for g in range(gamma):
         off, lane = g // stride, (g % stride) * cp
@@ -649,10 +652,15 @@ def _temporal_bwd_kernel(z_ref, g_ref, s2_ref, t2_ref, wt_ref, dz_ref,
             dprec = jnp.where(pre > 0.0, dprec, 0.0)
         dz_ref[:, 0, ci * tc:(ci + 1) * tc, :] = (dprec * s2m).astype(
             dz_ref.dtype)
-        sums = jnp.sum(dprec * zc, axis=(0, 1)).reshape(stride, cp)
-        ds2_ref[:] += jnp.sum(sums, axis=0, keepdims=True)
-        sumt = jnp.sum(dprec, axis=(0, 1)).reshape(stride, cp)
-        dt2_ref[:] += jnp.sum(sumt, axis=0, keepdims=True)
+        # (1, stride*cp) reductions via leading merge + keepdims, then sum
+        # the stride lane-halves by slicing (1D -> 2D reshapes don't compile)
+        sums = jnp.sum((dprec * zc).reshape(v * tc, stride * cp), axis=0,
+                       keepdims=True)
+        sumt = jnp.sum(dprec.reshape(v * tc, stride * cp), axis=0,
+                       keepdims=True)
+        for q in range(stride):
+            ds2_ref[:] += sums[:, q * cp:(q + 1) * cp]
+            dt2_ref[:] += sumt[:, q * cp:(q + 1) * cp]
 
 
 def _temporal_plan(t: int, gamma: int, stride: int):
