@@ -110,11 +110,34 @@ _DIRS = np.random.default_rng(2024).normal(0, 1, (NUM_JOINTS, 2))
 _DIRS /= np.linalg.norm(_DIRS, axis=1, keepdims=True)
 
 
+def subject_directions(subject_id: int, sigma: float = 0.8) -> np.ndarray:
+    """Per-subject joint motion directions: the dataset-wide base vectors
+    plus a subject-seeded perturbation, re-normalized.
+
+    This is the nuisance axis that makes the cross-SUBJECT split a real
+    generalization test: a model that memorizes the training subjects'
+    coordinate directions fails on held-out subjects, so test accuracy
+    measures how well a partitioning extracts direction-invariant phase
+    relations — the axis on which strategies differ in efficiency (without
+    it every strategy eventually saturates: relational information plus an
+    identical train/test distribution lets any labeling reach 100%).
+    """
+    d = _DIRS + sigma * np.random.default_rng(
+        910_000 + subject_id).normal(0, 1, _DIRS.shape)
+    return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+
 def synth_sequence_relational(action: str, rng: np.random.Generator,
-                              t_range: tuple[int, int] = (120, 480)
-                              ) -> np.ndarray:
+                              t_range: tuple[int, int] = (120, 480),
+                              dirs: np.ndarray | None = None) -> np.ndarray:
     """One ``(T, 25, 3)`` sequence whose class is encoded purely in the
-    inter-joint phase structure (see module comment)."""
+    inter-joint phase structure (see module comment).
+
+    ``dirs``: per-joint unit motion directions (e.g. subject_directions);
+    defaults to the dataset-wide base vectors.
+    """
+    if dirs is None:
+        dirs = _DIRS
     T = int(rng.integers(*t_range))
     alpha, beta = _RELATIONAL_CLASSES[action]
     omega = rng.uniform(0.5, 0.9)           # shared across classes
@@ -128,7 +151,7 @@ def synth_sequence_relational(action: str, rng: np.random.Generator,
     tt = np.arange(T)[:, None]
     phase = alpha * _HOPS_FROM_MIDHIP + beta * np.pi * _SIDE + phi0
     osc = amp * np.sin(omega * tt + phase[None, :])      # (T, V)
-    seq = pose[None] + osc[:, :, None] * _DIRS[None]
+    seq = pose[None] + osc[:, :, None] * dirs[None]
     seq[:, :, 0] += drift * tt
     seq += rng.normal(0, 0.8, seq.shape)
     conf = rng.uniform(0.5, 1.0, (T, NUM_JOINTS, 1))
@@ -137,7 +160,8 @@ def synth_sequence_relational(action: str, rng: np.random.Generator,
 
 def synth_sequence(action: str, rng: np.random.Generator,
                    t_range: tuple[int, int] = (120, 480),
-                   style: str = "marginal") -> np.ndarray:
+                   style: str = "marginal",
+                   dirs: np.ndarray | None = None) -> np.ndarray:
     """One ``(T, 25, 3)`` sequence with class-dependent motion + noise.
 
     ``style="marginal"`` (default) separates classes by per-joint frequency/
@@ -146,7 +170,7 @@ def synth_sequence(action: str, rng: np.random.Generator,
     partitioning-strategy ablation has signal to discriminate on.
     """
     if style == "relational":
-        return synth_sequence_relational(action, rng, t_range)
+        return synth_sequence_relational(action, rng, t_range, dirs=dirs)
     if style != "marginal":
         raise ValueError(f"style must be marginal|relational, got {style!r}")
     T = int(rng.integers(*t_range))
@@ -188,6 +212,9 @@ def generate_dataset(
     skipped = False
     for s in range(1, num_subjects + 1):
         subject = f"person{s:02d}"
+        # relational style: per-subject joint motion directions, so the
+        # cross-subject split tests direction-invariant relational features
+        dirs = subject_directions(s) if style == "relational" else None
         for action in actions:
             for scen in scenarios:
                 if skip_one and not skipped:
@@ -195,7 +222,8 @@ def generate_dataset(
                     continue
                 fname = f"{subject}_{action}_{scen}.npy"
                 np.save(os.path.join(out_dir, fname),
-                        synth_sequence(action, rng, t_range, style=style))
+                        synth_sequence(action, rng, t_range, style=style,
+                                       dirs=dirs))
                 meta["subject"].append(subject)
                 meta["action"].append(action)
                 meta["scenario"].append(scen)

@@ -479,3 +479,26 @@ class TestRelationalSynthetic:
 
         with pytest.raises(ValueError, match="style"):
             synth_sequence("boxing", rng, (20, 21), style="spectral")
+
+    def test_subject_directions_are_a_nuisance_axis(self):
+        """Different subjects get different unit motion directions (the
+        cross-subject generalization axis); same subject is deterministic."""
+        from stgcn_tpu.data.synthetic import subject_directions
+
+        d1, d1b = subject_directions(1), subject_directions(1)
+        d2 = subject_directions(2)
+        np.testing.assert_array_equal(d1, d1b)
+        assert np.abs(d1 - d2).max() > 0.1
+        np.testing.assert_allclose(np.linalg.norm(d1, axis=1), 1.0,
+                                   rtol=1e-6)
+        # generate_dataset threads them through per subject
+        import tempfile
+
+        from stgcn_tpu.data.synthetic import generate_dataset
+
+        with tempfile.TemporaryDirectory() as td:
+            meta = generate_dataset(td, num_subjects=2, scenarios=("d1",),
+                                    t_range=(30, 31), style="relational",
+                                    skip_one=False, seed=5)
+            df = pd.read_csv(meta)
+            assert len(df) == 12
