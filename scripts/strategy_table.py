@@ -52,6 +52,13 @@ CONFIGS = [
         "--model.num_layers", "10", "--model.dropout_rate", "0.0",
         "--data.augment_data", "true",
     ]),
+    # the same recipe with the strategy that suits the relational task
+    # (spatial-configuration cannot learn it — see the ablation rows)
+    ("best_distance_residual_aug", [
+        "--model.partitioning", "1", "--model.residual", "true",
+        "--model.num_layers", "10", "--model.dropout_rate", "0.0",
+        "--data.augment_data", "true",
+    ]),
 ]
 
 
