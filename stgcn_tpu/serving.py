@@ -42,7 +42,8 @@ class Predictor:
 
     def __init__(self, model: STGCN, params: dict, state: dict,
                  buckets: tuple[int, ...] | None = None,
-                 max_batch: int = 64, batch_pad: str = "max"):
+                 max_batch: int = 64, batch_pad: str = "max",
+                 use_fused: bool | None = None):
         """``batch_pad`` pins the batch-dimension padding policy:
 
         * ``"max"`` (default) — every partial chunk is zero-padded to
@@ -81,6 +82,14 @@ class Predictor:
         # path still gets the host-cast optimization
         is_bf16 = cd is not None and np.dtype(cd) == np.dtype(ml_dtypes.bfloat16)
         self._transfer_dtype = np.dtype(ml_dtypes.bfloat16) if is_bf16 else None
+        # ``use_fused``: serve through the whole-block Pallas megakernels
+        # (kernels/block_fused.py — measured 1.16-1.20x the op-chain eval
+        # forward on a v5e chip, SERVING_r04.json).  None = auto: on by
+        # default on TPU, off elsewhere (the kernels run interpreter-mode
+        # off-TPU, which is correct but slow).
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        self._use_fused = bool(use_fused)
 
     def _host_cast(self, x: np.ndarray) -> np.ndarray:
         if self._transfer_dtype is not None and x.dtype != self._transfer_dtype:
@@ -134,9 +143,20 @@ class Predictor:
     def _fn_for(self, batch: int, t: int):
         key = (batch, t)
         if key not in self._compiled:
-            def fwd(params, state, x):
-                logits, _ = self.model.apply(params, state, x, train=False)
-                return jax.nn.softmax(logits, axis=-1)
+            if self._use_fused and self.model.config.block_impl == "ops":
+                from stgcn_tpu.models.fused import fused_eval_forward
+
+                interpret = jax.default_backend() != "tpu"
+
+                def fwd(params, state, x):
+                    logits = fused_eval_forward(self.model, params, state, x,
+                                                interpret=interpret)
+                    return jax.nn.softmax(logits, axis=-1)
+            else:
+                def fwd(params, state, x):
+                    logits, _ = self.model.apply(params, state, x,
+                                                 train=False)
+                    return jax.nn.softmax(logits, axis=-1)
 
             self._compiled[key] = jax.jit(fwd)
         return self._compiled[key]

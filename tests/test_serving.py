@@ -191,3 +191,19 @@ class TestPredictor:
         pred.predict(seqs)
         lens = {t for (_, t) in pred._compiled}
         assert lens <= {64, 128}
+
+    def test_fused_serving_matches_op_chain(self, ckpt, rng):
+        """use_fused=True serves through the whole-block megakernels and
+        must reproduce the op-chain forward (auto-on for TPU deployments;
+        interpreter-mode here)."""
+        pred_ops = Predictor.from_checkpoint(ckpt, CFG, max_batch=4,
+                                             use_fused=False)
+        pred_fused = Predictor.from_checkpoint(ckpt, CFG, max_batch=4,
+                                               use_fused=True)
+        assert pred_fused._use_fused and not pred_ops._use_fused
+        seqs = [synth_sequence(a, rng, (40 + 7 * i, 41 + 7 * i))[:, :, :2]
+                for i, a in enumerate(list(KTH_LABELS)[:3])]
+        a = pred_ops.predict(seqs)
+        b = pred_fused.predict(seqs)
+        np.testing.assert_allclose(b.probs, a.probs, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(b.labels, a.labels)
