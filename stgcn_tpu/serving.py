@@ -245,7 +245,13 @@ class Predictor:
         return Prediction(probs=probs, labels=labels, label_names=names)
 
     def warmup(self, batch: int | None = None) -> None:
-        """Pre-compile the (max_batch x each-bucket) shapes."""
+        """Pre-compile the (max_batch x each-bucket) shapes.
+
+        With ``use_fused`` (the TPU default) each bucket shape compiles one
+        Mosaic megakernel per distinct block shape — minutes per bucket on
+        a cold cache — so deployments should warmup() at startup (or pin
+        ``buckets`` to the few shapes they actually serve).
+        """
         b = batch or self.max_batch
         c = self.model.config.c_in
         for t in self.buckets:
