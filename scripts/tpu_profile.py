@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture(precision: str, out_dir: str, batch: int, t: int,
-            layout: str = "ntvc") -> str:
+            layout: str = "ntvc", eval_fused: bool = False) -> str:
     import jax
     import jax.numpy as jnp
     import optax
@@ -44,6 +44,24 @@ def capture(precision: str, out_dir: str, batch: int, t: int,
     step = make_train_step(model, opt)
     x, y = random_batch(np.random.default_rng(0), batch, t)
     x, y = jnp.asarray(x), jnp.asarray(y)
+
+    if eval_fused:
+        # profile the whole-block megakernel EVAL forward instead
+        from stgcn_tpu.models.fused import fused_eval_forward
+
+        params, mstate = ts.params, ts.model_state
+        fwd = jax.jit(lambda p, s_, x_: fused_eval_forward(model, p, s_, x_))
+        xs = [x, x + 1e-3]
+        for xv in xs:
+            fwd(params, mstate, xv).block_until_ready()
+        jax.profiler.start_trace(out_dir)
+        for i in range(10):
+            out = fwd(params, mstate, xs[i % 2])
+        out.block_until_ready()
+        jax.profiler.stop_trace()
+        paths = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"),
+                          recursive=True)
+        return paths[-1] if paths else ""
 
     for _ in range(3):
         ts, m = step(ts, x, y)
@@ -82,10 +100,12 @@ def main() -> int:
                     help="skip capture; summarize this xplane.pb")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--layout", default="ntvc", choices=("ntvc", "vntc"))
+    ap.add_argument("--eval-fused", action="store_true",
+                    help="profile the megakernel eval forward, not the step")
     args = ap.parse_args()
 
     xplane = args.xplane or capture(args.precision, args.out, args.batch,
-                                    args.t, args.layout)
+                                    args.t, args.layout, args.eval_fused)
     if not xplane:
         print("no xplane captured", file=sys.stderr)
         return 1

@@ -61,7 +61,7 @@ def _roundup(a: int, b: int) -> int:
 def _mega_kernel(*refs, k_parts: int, gamma: int, stride: int, pad_l: int,
                  t_valid: int, t_out_p: int, tc: int, order: str,
                  shortcut: str, relu1: bool, apply_out: bool,
-                 final_relu: bool, precision=None):
+                 final_relu: bool, out_off: int = 0, precision=None):
     """One sequence: (V, Tp, C_in) -> (V, t_out_p, C_out).
 
     refs: x, s1, t1, w (K,Cin,cp), b (K,1,cp), a (K,V,V), wt (gamma,cp,cp),
@@ -161,13 +161,35 @@ def _mega_kernel(*refs, k_parts: int, gamma: int, stride: int, pad_l: int,
         uo = uo + r.astype(jnp.float32)
     if final_relu:
         uo = jnp.maximum(uo, 0.0)
-    out_ref[:] = uo.reshape(v, 1, t_out_p, c_out).astype(out_ref.dtype)
+    res = uo.reshape(v, 1, t_out_p, c_out).astype(out_ref.dtype)
+    if out_off == 0 and out_ref.shape[2] == t_out_p:
+        out_ref[:] = res
+    else:
+        # padded-T output layout: valid frames at out_off, zeroed margins
+        # (the next block masks by position, but keep the buffer defined)
+        out_rows = out_ref.shape[2]
+        out_ref[:, :, 0:out_off, :] = jnp.zeros(
+            (v, 1, out_off, c_out), out_ref.dtype)
+        out_ref[:, :, out_off:out_off + t_out_p, :] = res
+        tail = out_rows - out_off - t_out_p
+        if tail > 0:
+            out_ref[:, :, out_off + t_out_p:out_rows, :] = jnp.zeros(
+                (v, 1, tail, c_out), out_ref.dtype)
+
+
+def block_tp(t: int, stride: int, gamma: int = 9, tc: int = 64) -> int:
+    """The padded time extent the block kernel wants for logical length t."""
+    pad_l = (gamma - 1) // 2
+    t_out = (t + 2 * pad_l - gamma) // stride + 1
+    t_out_p = _roundup(t_out, 16)
+    return _roundup(max(pad_l + t, (t_out_p - 1) * stride + gamma), tc)
 
 
 def fused_block_vm(x, s1, t1, w, b, a, wt, bt, s2, t2, wr=None, br=None, *,
                    stride: int = 1, order: str = "post",
                    shortcut: str = "none", relu1: bool = False,
                    apply_out: bool = True, final_relu: bool = True,
+                   t_valid: int | None = None, out_tp: int | None = None,
                    interpret: bool = False, precision=None):
     """Whole ST-GCN block as one fused kernel.
 
@@ -186,8 +208,17 @@ def fused_block_vm(x, s1, t1, w, b, a, wt, bt, s2, t2, wr=None, br=None, *,
       relu1: ReLU after affine1 (the residual order).
       apply_out: apply affine2 (+final ReLU) in-kernel; False leaves the raw
         temporal output (train mode computes BN2 stats on it outside).
+      t_valid: if set, ``x`` is ALREADY in padded-T layout — shape
+        ``(V, N, block_tp(t_valid, stride), C_in)`` with the ``t_valid``
+        logical frames at offset ``pad_l`` — and the host-side pad copy is
+        skipped (profiled at 16% of the chained eval forward).  Pad-region
+        content is irrelevant: the kernel masks by position.
+      out_tp: if set, the output is emitted in padded-T layout
+        ``(V, N, out_tp, C_out)`` with valid frames at offset ``pad_l``
+        (head/tail rows zeroed), ready to be the next block's ``t_valid``
+        input with no copy.
 
-    Returns ``(V, N, T_out, C_out)``.
+    Returns ``(V, N, T_out, C_out)`` (or ``(V, N, out_tp, C_out)``).
     """
     v, n, t, c_in = x.shape
     gamma, _, c_out = wt.shape
@@ -200,14 +231,25 @@ def fused_block_vm(x, s1, t1, w, b, a, wt, bt, s2, t2, wr=None, br=None, *,
         raise ValueError(f"shortcut must be none|id|proj, got {shortcut!r}")
 
     pad_l = (gamma - 1) // 2
+    tc = 64
+    if t_valid is not None:
+        tp = t
+        t = t_valid
+        if tp != block_tp(t, stride, gamma, tc):
+            raise ValueError(
+                f"padded input extent {tp} != block_tp({t}, {stride}) = "
+                f"{block_tp(t, stride, gamma, tc)}")
     t_out = (t + 2 * pad_l - gamma) // stride + 1
     t_out_p = _roundup(t_out, 16)
-    tc = 64
-    tp = _roundup(max(pad_l + t, (t_out_p - 1) * stride + gamma), tc)
+    if t_valid is None:
+        tp = _roundup(max(pad_l + t, (t_out_p - 1) * stride + gamma), tc)
     cp = _lane_pad(c_out)
     cdtype = x.dtype
+    if out_tp is not None and out_tp < pad_l + t_out_p:
+        raise ValueError(f"out_tp {out_tp} too small for {pad_l + t_out_p}")
 
-    xp = jnp.pad(x, [(0, 0), (0, 0), (pad_l, tp - t - pad_l), (0, 0)])
+    xp = (x if t_valid is not None else
+          jnp.pad(x, [(0, 0), (0, 0), (pad_l, tp - t - pad_l), (0, 0)]))
     w2 = jnp.pad(w.transpose(1, 0, 2),
                  [(0, 0), (0, 0), (0, cp - c_out)]).astype(cdtype)
     b2 = jnp.pad(b.reshape(k_parts, 1, c_out),
@@ -253,11 +295,13 @@ def fused_block_vm(x, s1, t1, w, b, a, wt, bt, s2, t2, wr=None, br=None, *,
     if shortcut == "proj":
         scratch.append(pltpu.VMEM((v, tp, cp), cdtype))
 
+    out_rows = out_tp if out_tp is not None else t_out_p
+    out_off = pad_l if out_tp is not None else 0
     kernel = functools.partial(
         _mega_kernel, k_parts=k_parts, gamma=gamma, stride=stride,
         pad_l=pad_l, t_valid=t, t_out_p=t_out_p, tc=tc, order=order,
         shortcut=shortcut, relu1=relu1, apply_out=apply_out,
-        final_relu=final_relu, precision=precision)
+        final_relu=final_relu, out_off=out_off, precision=precision)
 
     m = n * t
     itemsize = jnp.dtype(cdtype).itemsize
@@ -268,20 +312,20 @@ def fused_block_vm(x, s1, t1, w, b, a, wt, bt, s2, t2, wr=None, br=None, *,
         kernel,
         grid=(n,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((v, 1, t_out_p, c_out),
+        out_specs=pl.BlockSpec((v, 1, out_rows, c_out),
                                lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((v, n, t_out_p, c_out), cdtype),
+        out_shape=jax.ShapeDtypeStruct((v, n, out_rows, c_out), cdtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(xp.size + v * n * t_out_p * c_out) * itemsize,
+            bytes_accessed=(xp.size + v * n * out_rows * c_out) * itemsize,
             transcendentals=0),
         interpret=interpret,
     )(*inputs)
-    return out[:, :, :t_out, :]
+    return out if out_tp is not None else out[:, :, :t_out, :]
 
 
 # ===========================================================================

@@ -51,6 +51,8 @@ def fused_eval_forward(model, params, state, x, *, interpret: bool = False,
 
     Returns ``(N, classes)`` logits (softmax applied if the config says so).
     """
+    from stgcn_tpu.kernels.block_fused import block_tp
+
     cfg = model.config
     # Only the activations change dtype: the kernel casts each weight to the
     # activation dtype at its own pad step, and the BN affines fold (and
@@ -58,13 +60,28 @@ def fused_eval_forward(model, params, state, x, *, interpret: bool = False,
     x = x.astype(cfg.compute_dtype or cfg.dtype)
 
     h = jnp.transpose(x, (2, 0, 1, 3))  # (V, N, T, C)
+    # Chained padded-T layout: block i writes its output directly into the
+    # T-padded buffer block i+1 reads, so no jnp.pad copy exists between
+    # blocks (profiled at 16% of the unchained forward, PERF_r04.md).
+    t = h.shape[2]
+    lengths, strides = [t], [s for (_, s) in cfg.plan]
+    for (_, s) in cfg.plan:
+        pad_l = (cfg.gamma - 1) // 2
+        t = (t + 2 * pad_l - cfg.gamma) // s + 1
+        lengths.append(t)
     c_prev = cfg.c_in
+    chained = False
     for i, (c_out, stride) in enumerate(cfg.plan):
         kw = fused_block_args(params["blocks"][i], state["blocks"][i],
                               model.adjacency, residual=cfg.residual,
                               c_in=c_prev, c_out=c_out, stride=stride)
-        # BN affines fold in float32 regardless of the compute dtype
-        h = fused_block_vm(h, **kw, interpret=interpret, precision=precision)
+        out_tp = (block_tp(lengths[i + 1], strides[i + 1], cfg.gamma)
+                  if i + 1 < len(cfg.plan) else None)
+        h = fused_block_vm(h, **kw,
+                           t_valid=lengths[i] if chained else None,
+                           out_tp=out_tp,
+                           interpret=interpret, precision=precision)
+        chained = out_tp is not None
         c_prev = c_out
 
     acc = jnp.promote_types(h.dtype, jnp.float32)
