@@ -11,6 +11,13 @@ vs_baseline  — ratio vs the reference implementation (PyTorch, this host's
                measurement runs on a smaller batch and is scaled linearly in
                N*T (conv cost is linear in both), then cached in
                .bench_baseline.json.
+
+The same JSON line also carries the SERVING product (VERDICT r4 #7 — the
+train headline can stay flat while serving improves, so both must be
+driver-visible): ``eval_forward_ms_fused`` (device-resident megakernel
+forward, B=64 T=304 — the number that binds on a PCIe host) and
+``serving_pipelined_seq_per_s`` / ``serving_serial_seq_per_s`` (Predictor
+end-to-end over the host link, depth-2 stream vs serial).
 """
 
 from __future__ import annotations
@@ -116,6 +123,79 @@ def bench_reference_torch(batch: int = 4, t: int = 64, steps: int = 10) -> dict:
     return {"step_time_s": best, "batch": batch, "t": t}
 
 
+def bench_serving(precision: str = "bf16") -> dict:
+    """Device-resident fused eval forward + Predictor serial/pipelined rates.
+
+    The device-resident row alternates two pre-staged inputs (identical
+    repeated dispatches collapse on the axon path — CLAUDE.md microbench
+    trap); the Predictor rows include the host link, measured back to back
+    in one session so their ratio is meaningful even when absolute tunnel
+    throughput drifts.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from stgcn_tpu.graph.adjacency import Strategy
+    from stgcn_tpu.models.fused import fused_eval_forward
+    from stgcn_tpu.models.stgcn import STGCN, STGCNConfig
+    from stgcn_tpu.serving import Predictor
+
+    bf16 = precision == "bf16"
+    model = STGCN(STGCNConfig(strategy=Strategy.DISTANCE, d=1, residual=True,
+                              temporal_impl="auto",
+                              compute_dtype=jnp.bfloat16 if bf16 else None))
+    params, state = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    out: dict = {}
+
+    # -- device-resident megakernel forward (compute-bound number) ---------
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        def fwd(p, s, x):
+            return jax.nn.softmax(
+                fused_eval_forward(model, p, s, x), axis=-1)
+    else:
+        # interpret-mode megakernels at B=64 T=304 take minutes on CPU;
+        # report the op-chain forward instead (label says which)
+        def fwd(p, s, x):
+            logits, _ = model.apply(p, s, x, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+    f = jax.jit(fwd)
+    xvars = [jax.device_put(jnp.asarray(
+        rng.standard_normal((BATCH, T, 25, 2)), jnp.float32))
+        for _ in range(2)]
+    for xv in xvars:
+        f(params, state, xv).block_until_ready()
+    lat = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        f(params, state, xvars[i % 2]).block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    key = "eval_forward_ms_fused" if on_tpu else "eval_forward_ms_ops"
+    out[key] = round(lat[len(lat) // 2] * 1e3, 2)
+
+    # -- Predictor end-to-end: serial vs depth-2 pipelined (host link) -----
+    pred = Predictor(model, params, state, buckets=(T,), max_batch=BATCH)
+    xs = [rng.standard_normal((BATCH, T, 25, 2)).astype(np.float32)
+          for _ in range(6)]
+    for _ in pred.predict_stream(xs[:2]):
+        pass
+    serial, piped = [], []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for x in xs:
+            pred.predict_batch(x)
+        serial.append(BATCH * len(xs) / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        n = sum(o.shape[0] for o in pred.predict_stream(iter(xs)))
+        piped.append(n / (time.perf_counter() - t0))
+    out["serving_serial_seq_per_s"] = round(float(np.median(serial)), 1)
+    out["serving_pipelined_seq_per_s"] = round(float(np.median(piped)), 1)
+    return out
+
+
 def reference_baseline_seq_per_s() -> float | None:
     """sequences/s the reference achieves at (BATCH, T), linear-scaled."""
     if os.path.exists(CACHE):
@@ -137,6 +217,9 @@ def reference_baseline_seq_per_s() -> float | None:
 
 
 def main() -> int:
+    from stgcn_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # megakernel compiles persist across processes
     precision = "f32" if "--f32" in sys.argv else "bf16"
     ours = bench_ours(BATCH, T, precision=precision)
     base = reference_baseline_seq_per_s()
@@ -160,6 +243,11 @@ def main() -> int:
                                        if base else None)
         except Exception as e:  # noqa: BLE001 - the headline row must survive
             print(f"[bench] B=128 row failed: {e}", file=sys.stderr)
+    if "--no-serving" not in sys.argv:
+        try:
+            out.update(bench_serving(precision))
+        except Exception as e:  # noqa: BLE001 - the headline row must survive
+            print(f"[bench] serving rows failed: {e}", file=sys.stderr)
     print(json.dumps(out))
     print(f"[bench] backend={ours['backend']} precision={precision} "
           f"step={ours['step_time_s']*1e3:.1f}ms "

@@ -152,7 +152,8 @@ def _shape_bytes(shape: str) -> int:
 
 
 def count_collectives(mesh_shape=(2, 2, 2), batch=8, t=32,
-                      production: bool = False) -> None:
+                      production: bool = False,
+                      shard_joints: bool = False) -> None:
     """Compile the sharded train step and report per-type collective bytes.
 
     The per-device payload each collective moves per step, from the
@@ -192,10 +193,13 @@ def count_collectives(mesh_shape=(2, 2, 2), batch=8, t=32,
             dropout_rate=0.1, residual=True))
     opt = optax.adam(1e-3)
     mesh = make_mesh(*mesh_shape)
-    state, shardings = create_sharded_train_state(model, opt, mesh, seed=0)
-    step = make_sharded_train_step(model, opt, mesh, shardings, donate=False)
+    state, shardings = create_sharded_train_state(model, opt, mesh, seed=0,
+                                                  shard_joints=shard_joints)
+    step = make_sharded_train_step(model, opt, mesh, shardings, donate=False,
+                                   shard_joints=shard_joints)
     x, y = random_batch(np.random.default_rng(0), batch, t)
-    xs, ys = shard_batch(np.asarray(x), np.asarray(y), mesh)
+    xs, ys = shard_batch(np.asarray(x), np.asarray(y), mesh,
+                         shard_joints=shard_joints)
     hlo = step.lower(state, xs, ys).compile().as_text()
 
     counts = collections.Counter()
@@ -215,6 +219,7 @@ def count_collectives(mesh_shape=(2, 2, 2), batch=8, t=32,
                  else "collective_bytes"),
         "plan_blocks": len(model.config.plan),
         "mesh": list(mesh_shape),
+        "shard_joints": shard_joints,
         "batch": batch, "t": t,
         "ops": {k: {"count": counts[k], "bytes_per_device_per_step": v}
                 for k, v in sorted(bytes_per.items())},
@@ -235,6 +240,13 @@ def main() -> int:
     ap.add_argument("--production", action="store_true",
                     help="with --collectives: analyze the PRODUCTION "
                          "10-block plan at B=64 T=304 instead of the toy")
+    ap.add_argument("--mesh", default="2,2,2",
+                    help="with --collectives: mesh shape data,time,model "
+                         "(dp-heavy meshes for the VERDICT r4 #8 table, "
+                         "e.g. 8,1,1 or 4,2,1)")
+    ap.add_argument("--shard-joints", action="store_true",
+                    help="with --collectives: edge-partitioned joint-axis "
+                         "sharding over the model axis instead of channel TP")
     args = ap.parse_args()
     modes = (args.cpu_mesh, args.cpu_mesh_weak, args.tpu, args.collectives)
     if sum(modes) != 1:
@@ -250,7 +262,9 @@ def main() -> int:
     elif args.cpu_mesh_weak:
         bench_cpu_mesh(batch=8, weak=True)
     elif args.collectives:
-        count_collectives(production=args.production)
+        mesh_shape = tuple(int(v) for v in args.mesh.split(","))
+        count_collectives(mesh_shape=mesh_shape, production=args.production,
+                          shard_joints=args.shard_joints)
     else:
         bench_tpu()
     return 0

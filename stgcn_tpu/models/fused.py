@@ -86,10 +86,20 @@ def fused_eval_forward(model, params, state, x, *, interpret: bool = False,
 
     acc = jnp.promote_types(h.dtype, jnp.float32)
     pooled = jnp.mean(h.astype(acc), axis=(0, 2))  # (N, C)
-    logits = linear(params["fc"], pooled.astype(h.dtype), precision=precision)
+    logits = linear(_cast_head(params["fc"], h.dtype),
+                    pooled.astype(h.dtype), precision=precision)
     if cfg.final_softmax:
         logits = jax.nn.softmax(logits, axis=-1)
     return logits
+
+
+def _cast_head(fc: dict, dtype) -> dict:
+    """Cast the classifier params to the activation dtype, matching the ops
+    path (which casts ALL params to compute_dtype once at apply entry) so
+    both block_impl paths share head numerics (r4 advisor item)."""
+    return jax.tree.map(
+        lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating)
+        else p, fc)
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +224,8 @@ def fused_train_forward(model, params, state, x, *, rng=None,
 
     acc = jnp.promote_types(h.dtype, jnp.float32)
     pooled = jnp.mean(h.astype(acc), axis=(0, 2))
-    logits = linear(params["fc"], pooled.astype(h.dtype), precision=precision)
+    logits = linear(_cast_head(params["fc"], h.dtype),
+                    pooled.astype(h.dtype), precision=precision)
     if cfg.final_softmax:
         logits = jax.nn.softmax(logits, axis=-1)
     return logits, {"blocks": new_blocks_s}

@@ -38,12 +38,22 @@ class Prediction:
 
 
 class Predictor:
-    """Batched fixed-shape inference over variable-length skeleton sequences."""
+    """Batched fixed-shape inference over variable-length skeleton sequences.
+
+    On TPU the forward defaults to the whole-block Pallas megakernels
+    (``use_fused``, 1.41x the op-chain eval forward — PERF_r04.md), which
+    cost 1-8 **minutes** of Mosaic compile per distinct block shape on a
+    cold cache.  Two mitigations are on by default: the persistent on-disk
+    compilation cache (``persistent_cache``; a restarted process re-loads
+    compiled kernels in seconds) and ``warmup()`` to pay the remaining
+    cold-cache cost at startup rather than on the first ``predict()``.
+    """
 
     def __init__(self, model: STGCN, params: dict, state: dict,
                  buckets: tuple[int, ...] | None = None,
                  max_batch: int = 64, batch_pad: str = "max",
-                 use_fused: bool | None = None):
+                 use_fused: bool | None = None,
+                 persistent_cache: bool | str = True):
         """``batch_pad`` pins the batch-dimension padding policy:
 
         * ``"max"`` (default) — every partial chunk is zero-padded to
@@ -90,6 +100,15 @@ class Predictor:
         if use_fused is None:
             use_fused = jax.default_backend() == "tpu"
         self._use_fused = bool(use_fused)
+        self._warmed = False
+        if persistent_cache:
+            from stgcn_tpu.utils.compilation_cache import (
+                enable_persistent_cache,
+            )
+
+            enable_persistent_cache(
+                persistent_cache if isinstance(persistent_cache, str)
+                else None)
 
     def _host_cast(self, x: np.ndarray) -> np.ndarray:
         if self._transfer_dtype is not None and x.dtype != self._transfer_dtype:
@@ -143,6 +162,19 @@ class Predictor:
     def _fn_for(self, batch: int, t: int):
         key = (batch, t)
         if key not in self._compiled:
+            if self._use_fused and not self._warmed and not self._compiled:
+                # r4 advisor: auto-enabled megakernel serving can hit minutes
+                # of Mosaic compile at the FIRST predict() on a cold cache —
+                # say so once instead of silently stalling
+                import warnings
+
+                warnings.warn(
+                    "Predictor is compiling the fused TPU serving forward "
+                    f"for shape (N={batch}, T={t}) without a prior warmup(); "
+                    "on a cold compilation cache this takes minutes per "
+                    "bucket shape. Call warmup() at startup (or pass "
+                    "use_fused=False) to move this cost out of the request "
+                    "path.", stacklevel=3)
             if self._use_fused and self.model.config.block_impl == "ops":
                 from stgcn_tpu.models.fused import fused_eval_forward
 
@@ -183,6 +215,12 @@ class Predictor:
         Yields ``(N, classes)`` float32 probability arrays in input order.
         Each batch's ``(N, T)`` must be a compiled/bucketed shape, as in
         ``predict_batch``.
+
+        ``depth=2`` with the strict at-most-``depth``-resident buffer bound
+        below is the configuration the 1.37x interleaved pipelined-vs-serial
+        result was measured with (SERVING_r04.json) — raising ``depth`` buys
+        more overlap at the cost of one more resident batch if a deployment
+        needs it.
         """
         from collections import deque
 
@@ -252,6 +290,7 @@ class Predictor:
         a cold cache — so deployments should warmup() at startup (or pin
         ``buckets`` to the few shapes they actually serve).
         """
+        self._warmed = True
         b = batch or self.max_batch
         c = self.model.config.c_in
         for t in self.buckets:
