@@ -107,7 +107,8 @@ def _cast_head(fc: dict, dtype) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _bn_affine_train(bn_params, bn_state, x, *, momentum=0.1, eps=1e-5):
+def _bn_affine_train(bn_params, bn_state, x, *, momentum=0.1, eps=1e-5,
+                     axis_name=None):
     """Batch-stat BN as a differentiable per-channel affine.
 
     Reduces over all leading axes of ``x`` (channels last), reproducing
@@ -115,14 +116,24 @@ def _bn_affine_train(bn_params, bn_state, x, *, momentum=0.1, eps=1e-5):
     variance for normalization, unbiased variance into the running buffer.
     The returned (s, t) are functions of x through mean/var, so autodiff
     recovers the full BN gradient through the fused kernels' ds/dt.
+
+    ``axis_name``: mesh axis (or axes) the batch is sharded over inside a
+    ``shard_map`` — statistics are pmean-combined across shards so sharded
+    BN sees exactly the global-batch statistics (the same cross-replica-BN
+    property the GSPMD ops path gets for free; parallel/train.py).
     """
     xf = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
     mean = jnp.mean(xf, axis=axes)
-    var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+    sqmean = jnp.mean(jnp.square(xf), axis=axes)
     n = 1
     for d in x.shape[:-1]:
         n *= d
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        sqmean = jax.lax.pmean(sqmean, axis_name)
+        n *= jax.lax.axis_size(axis_name)  # static: global batch count
+    var = sqmean - jnp.square(mean)
     unbiased = var * (n / max(n - 1, 1))
     new_state = {
         "mean": (1 - momentum) * bn_state["mean"]
@@ -138,7 +149,8 @@ def _bn_affine_train(bn_params, bn_state, x, *, momentum=0.1, eps=1e-5):
 def block_forward_fused_train(bp, bs, x, adjacency, *, stride: int,
                               residual: bool, dropout_rate: float = 0.0,
                               dropout_rng=None, dropout_impl: str = "exact",
-                              interpret: bool = False, precision=None):
+                              interpret: bool = False, precision=None,
+                              axis_name=None):
     """One ST-GCN block, train mode, on V-major ``(V, N, T, C_in)``.
 
     Two fused Pallas ops (kernels/block_fused.spatial_block_vm /
@@ -158,14 +170,15 @@ def block_forward_fused_train(bp, bs, x, adjacency, *, stride: int,
     wt = bp["temporal"]["w"][:, 0]
     c_out = wt.shape[-1]
     new_state = {}
-    s1, t1, new_state["bn1"] = _bn_affine_train(bp["bn1"], bs["bn1"], x)
+    s1, t1, new_state["bn1"] = _bn_affine_train(bp["bn1"], bs["bn1"], x,
+                                                axis_name=axis_name)
 
     z = spatial_block_vm(x, s1, t1, bp["spatial"]["w"].astype(x.dtype),
                          bp["spatial"]["b"].astype(x.dtype), A,
                          residual, interpret, precision)
     if residual:
         s2, t2, new_state["bn2"] = _bn_affine_train(
-            bp["bn2"], bs["bn2"], z[..., :c_out])
+            bp["bn2"], bs["bn2"], z[..., :c_out], axis_name=axis_name)
         u = temporal_block_vm(z, s2, t2, wt.astype(x.dtype),
                               bp["temporal"]["b"].astype(jnp.float32),
                               stride, True, interpret, precision)
@@ -188,7 +201,9 @@ def block_forward_fused_train(bp, bs, x, adjacency, *, stride: int,
                               stride, False, interpret, precision)
         from stgcn_tpu.ops.batchnorm import batchnorm
 
-        out, new_state["bn2"] = batchnorm(bp["bn2"], bs["bn2"], u, train=True)
+        out, new_state["bn2"] = batchnorm(
+            bp["bn2"], bs["bn2"], u, train=True,
+            axis_names=(axis_name,) if axis_name is not None else None)
         out = jax.nn.relu(out)
     if dropout_rate > 0.0:
         if dropout_rng is None:
@@ -199,8 +214,14 @@ def block_forward_fused_train(bp, bs, x, adjacency, *, stride: int,
 
 
 def fused_train_forward(model, params, state, x, *, rng=None,
-                        interpret: bool = False, precision=None):
-    """Train-mode logits + new model state via the fused block ops."""
+                        interpret: bool = False, precision=None,
+                        axis_name=None):
+    """Train-mode logits + new model state via the fused block ops.
+
+    ``axis_name``: set when running per-shard inside a ``shard_map`` over a
+    batch-sharded mesh axis (parallel/fused_dp.py) — BN statistics pmean
+    across shards so sharded numerics match the single-device step.
+    """
     cfg = model.config
     x = x.astype(cfg.compute_dtype or cfg.dtype)
     n_blocks = len(cfg.plan)
@@ -219,7 +240,7 @@ def fused_train_forward(model, params, state, x, *, rng=None,
             stride=stride, residual=cfg.residual,
             dropout_rate=cfg.dropout_rate, dropout_rng=drop_keys[i],
             dropout_impl=cfg.dropout_impl, interpret=interpret,
-            precision=precision)
+            precision=precision, axis_name=axis_name)
         new_blocks_s.append(s)
 
     acc = jnp.promote_types(h.dtype, jnp.float32)

@@ -80,7 +80,13 @@ def create_sharded_train_state(
     Returns ``(state, shardings)``.
     """
     state = create_train_state(model, optimizer, seed=seed)
-    shardings = _state_shardings(state, mesh, shard_joints)
+    if model.config.block_impl == "fused":
+        # dp-only megakernel path: the whole state is replicated
+        from stgcn_tpu.parallel.fused_dp import fused_dp_state_shardings
+
+        shardings = fused_dp_state_shardings(state, mesh)
+    else:
+        shardings = _state_shardings(state, mesh, shard_joints)
     state = jax.tree.map(
         lambda x, s: jax.device_put(x, s), state, shardings,
         is_leaf=lambda x: isinstance(x, jax.Array))
@@ -145,6 +151,20 @@ def make_sharded_train_step(
     With ``use_time_mask`` the step takes an ``(N, T)`` validity mask sharded
     like the batch's leading axes (bucketed collation at NTU scale — the
     masked global pool then ignores padded frames on every shard)."""
+    if model.config.block_impl == "fused":
+        # megakernel path: explicit shard_map over the data axis (GSPMD
+        # cannot partition pallas_call); refuses time/model-sharded meshes
+        from stgcn_tpu.parallel.fused_dp import (
+            check_dp_only,
+            make_fused_dp_train_step,
+        )
+
+        check_dp_only(mesh)
+        if use_time_mask:
+            raise ValueError("block_impl='fused' does not support time_mask; "
+                             "use block_impl='ops' for masked batches")
+        return make_fused_dp_train_step(model, optimizer, mesh, shardings,
+                                        precision=precision, donate=donate)
     _check_layout(mesh, model)
     x_sh = NamedSharding(mesh, mesh_lib.batch_spec(shard_joints))
     y_sh = NamedSharding(mesh, mesh_lib.label_spec())
@@ -187,6 +207,11 @@ def make_sharded_train_step(
 def make_sharded_eval_step(model, mesh: Mesh, shardings: TrainState,
                            *, precision=None,
                            shard_joints: bool = False) -> Callable:
+    if model.config.block_impl == "fused":
+        from stgcn_tpu.parallel.fused_dp import make_fused_dp_eval_step
+
+        return make_fused_dp_eval_step(model, mesh, shardings,
+                                       precision=precision)
     _check_layout(mesh, model)
     x_sh = NamedSharding(mesh, mesh_lib.batch_spec(shard_joints))
     y_sh = NamedSharding(mesh, mesh_lib.label_spec())
