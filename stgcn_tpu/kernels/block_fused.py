@@ -376,7 +376,8 @@ def _spatial_fwd_kernel(x_ref, s1_ref, t1_ref, w_ref, b_ref, a_ref, out_ref,
 
 def _spatial_bwd_kernel(x_ref, g_ref, s1_ref, t1_ref, w_ref, b_ref, a_ref,
                         dx_ref, dw_ref, db_ref, da_ref, ds1_ref, dt1_ref,
-                        *, k_parts: int, relu1: bool, precision=None):
+                        *, k_parts: int, relu1: bool, need_da: bool = True,
+                        precision=None):
     v, tm, c_in = x_ref.shape
     cp = g_ref.shape[-1]
 
@@ -410,15 +411,20 @@ def _spatial_bwd_kernel(x_ref, g_ref, s1_ref, t1_ref, w_ref, b_ref, a_ref,
             h2, t2d, dimension_numbers=(((0,), (0,)), ((), ())),
             precision=precision, preferred_element_type=jnp.float32)
         db_ref[kk] += jnp.sum(t2d.astype(jnp.float32), axis=0, keepdims=True)
-        z_k = (jax.lax.dot_general(
-            h2, w_ref[kk], dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=precision,
-            preferred_element_type=jnp.float32) + b_ref[kk]).astype(
-                x_ref.dtype)
-        z_t = z_k.reshape(v, tm, cp).reshape(v, tm * cp)
-        da_ref[kk] += jax.lax.dot_general(
-            g_t, z_t, dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32)
+        if need_da:
+            # the adjacency gradient needs the per-partition spatial
+            # expansion z_k, recomputed here (one stage1-size dot per
+            # partition).  Skipped entirely when the block's graph is not
+            # trained (adjacency_mode="fixed") — VERDICT r4 #1 lever (b).
+            z_k = (jax.lax.dot_general(
+                h2, w_ref[kk], dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32) + b_ref[kk]).astype(
+                    x_ref.dtype)
+            z_t = z_k.reshape(v, tm, cp).reshape(v, tm * cp)
+            da_ref[kk] += jax.lax.dot_general(
+                g_t, z_t, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
     dpre = dh_acc.reshape(v, tm, c_in)
     if relu1:
         dpre = jnp.where(pre > 0.0, dpre, 0.0)
@@ -450,14 +456,19 @@ def _spatial_prep(x_vm, w, b, a):
                                                       c_out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def spatial_block_vm(x, s1, t1, w, b, a, relu1: bool = False,
-                     interpret: bool = False, precision=None):
+                     interpret: bool = False, precision=None,
+                     need_da: bool = True):
     """Fused affine(+ReLU)+spatial-conv: ``(V, N, T, C_in) -> (V, N, T, cp)``.
 
     The output keeps its channel padding (cp = roundup(C_out, 128), zero
     lanes) so the downstream temporal kernel consumes it with no relayout;
     slice ``[..., :C_out]`` for anything user-facing.
+
+    ``need_da=False`` (legal only when the adjacency cotangent is unused —
+    adjacency_mode="fixed") skips the backward kernel's z_k recompute and
+    returns zeros for ``da``.
     """
     return _spatial_block_fwd(x, s1, t1, w, b, a, relu1, interpret,
                               precision)
@@ -503,12 +514,13 @@ def _spatial_block_fwd(x, s1, t1, w, b, a, relu1, interpret, precision):
     return out.reshape(v, n, t, cp)
 
 
-def _spatial_block_fwd_rule(x, s1, t1, w, b, a, relu1, interpret, precision):
+def _spatial_block_fwd_rule(x, s1, t1, w, b, a, relu1, interpret, precision,
+                            need_da):
     return (_spatial_block_fwd(x, s1, t1, w, b, a, relu1, interpret,
                                precision), (x, s1, t1, w, b, a))
 
 
-def _spatial_block_bwd_rule(relu1, interpret, precision, res, g):
+def _spatial_block_bwd_rule(relu1, interpret, precision, need_da, res, g):
     x, s1, t1, w, b, a = res
     v, n, t, c_in = x.shape
     cp_g = g.shape[-1]
@@ -519,7 +531,7 @@ def _spatial_block_bwd_rule(relu1, interpret, precision, res, g):
     if mp != m:
         g2 = jnp.pad(g2, [(0, 0), (0, mp - m), (0, 0)])
     kernel = functools.partial(_spatial_bwd_kernel, k_parts=k, relu1=relu1,
-                               precision=precision)
+                               need_da=need_da, precision=precision)
     dx, dw, db, da, ds1, dt1 = pl.pallas_call(
         kernel,
         grid=(mp // tile,),
@@ -564,8 +576,8 @@ def _spatial_block_bwd_rule(relu1, interpret, precision, res, g):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=3 * (2 * mp * v * c_in * k * cp)
-            + 2 * (2 * mp * k * v * v * cp),
+            flops=(3 if need_da else 2) * (2 * mp * v * c_in * k * cp)
+            + (2 if need_da else 1) * (2 * mp * k * v * v * cp),
             bytes_accessed=(2 * x2.size + g2.size)
             * jnp.dtype(x.dtype).itemsize,
             transcendentals=0),

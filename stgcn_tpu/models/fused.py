@@ -43,11 +43,14 @@ def fused_block_args(bp, bs, adjacency, *, residual: bool, c_in: int,
 
 
 def fused_eval_forward(model, params, state, x, *, interpret: bool = False,
-                       precision=None):
+                       precision=None, first_block: int = 0):
     """Eval-mode logits via one megakernel per block.
 
     Args:
-      x: ``(N, T, V, C_in)`` batch (the standard collate layout).
+      x: ``(N, T, V, C_in)`` batch (the standard collate layout).  With
+        ``first_block=j`` (the hybrid path), ``x`` is block ``j``'s input —
+        the ops-chain output of blocks ``0..j-1`` — and only the suffix runs
+        fused.
 
     Returns ``(N, classes)`` logits (softmax applied if the config says so).
     """
@@ -64,19 +67,21 @@ def fused_eval_forward(model, params, state, x, *, interpret: bool = False,
     # T-padded buffer block i+1 reads, so no jnp.pad copy exists between
     # blocks (profiled at 16% of the unchained forward, PERF_r04.md).
     t = h.shape[2]
-    lengths, strides = [t], [s for (_, s) in cfg.plan]
-    for (_, s) in cfg.plan:
+    plan = cfg.plan[first_block:]
+    lengths, strides = [t], [s for (_, s) in plan]
+    for (_, s) in plan:
         pad_l = (cfg.gamma - 1) // 2
         t = (t + 2 * pad_l - cfg.gamma) // s + 1
         lengths.append(t)
-    c_prev = cfg.c_in
+    c_prev = cfg.c_in if first_block == 0 else cfg.plan[first_block - 1][0]
     chained = False
-    for i, (c_out, stride) in enumerate(cfg.plan):
-        kw = fused_block_args(params["blocks"][i], state["blocks"][i],
+    for i, (c_out, stride) in enumerate(plan):
+        bi = first_block + i
+        kw = fused_block_args(params["blocks"][bi], state["blocks"][bi],
                               model.adjacency, residual=cfg.residual,
                               c_in=c_prev, c_out=c_out, stride=stride)
         out_tp = (block_tp(lengths[i + 1], strides[i + 1], cfg.gamma)
-                  if i + 1 < len(cfg.plan) else None)
+                  if i + 1 < len(plan) else None)
         h = fused_block_vm(h, **kw,
                            t_valid=lengths[i] if chained else None,
                            out_tp=out_tp,
@@ -173,9 +178,13 @@ def block_forward_fused_train(bp, bs, x, adjacency, *, stride: int,
     s1, t1, new_state["bn1"] = _bn_affine_train(bp["bn1"], bs["bn1"], x,
                                                 axis_name=axis_name)
 
+    # adjacency_mode="fixed" blocks carry no trained graph tensor — the
+    # adjacency cotangent is unused, so the backward kernel skips its z_k
+    # recompute (one stage1-size + one aggregation-size dot per partition)
+    need_da = "A" in bp or "mask" in bp
     z = spatial_block_vm(x, s1, t1, bp["spatial"]["w"].astype(x.dtype),
                          bp["spatial"]["b"].astype(x.dtype), A,
-                         residual, interpret, precision)
+                         residual, interpret, precision, need_da)
     if residual:
         s2, t2, new_state["bn2"] = _bn_affine_train(
             bp["bn2"], bs["bn2"], z[..., :c_out], axis_name=axis_name)
@@ -215,28 +224,35 @@ def block_forward_fused_train(bp, bs, x, adjacency, *, stride: int,
 
 def fused_train_forward(model, params, state, x, *, rng=None,
                         interpret: bool = False, precision=None,
-                        axis_name=None):
+                        axis_name=None, first_block: int = 0,
+                        drop_keys=None):
     """Train-mode logits + new model state via the fused block ops.
 
     ``axis_name``: set when running per-shard inside a ``shard_map`` over a
     batch-sharded mesh axis (parallel/fused_dp.py) — BN statistics pmean
     across shards so sharded numerics match the single-device step.
+
+    ``first_block``/``drop_keys``: the hybrid path runs blocks ``0..j-1``
+    on the ops chain and hands block ``j``'s input here with the remaining
+    dropout keys; the returned state carries only the suffix blocks.
     """
     cfg = model.config
     x = x.astype(cfg.compute_dtype or cfg.dtype)
-    n_blocks = len(cfg.plan)
-    if cfg.dropout_rate > 0:
-        if rng is None:
-            raise ValueError("training with dropout needs rng")
-        drop_keys = list(jax.random.split(rng, n_blocks))
-    else:
-        drop_keys = [None] * n_blocks
+    plan = cfg.plan[first_block:]
+    if drop_keys is None:
+        if cfg.dropout_rate > 0:
+            if rng is None:
+                raise ValueError("training with dropout needs rng")
+            drop_keys = list(jax.random.split(rng, len(plan)))
+        else:
+            drop_keys = [None] * len(plan)
 
     h = jnp.transpose(x, (2, 0, 1, 3))  # (V, N, T, C)
     new_blocks_s = []
-    for i, (c_out, stride) in enumerate(cfg.plan):
+    for i, (c_out, stride) in enumerate(plan):
+        bi = first_block + i
         h, s = block_forward_fused_train(
-            params["blocks"][i], state["blocks"][i], h, model.adjacency,
+            params["blocks"][bi], state["blocks"][bi], h, model.adjacency,
             stride=stride, residual=cfg.residual,
             dropout_rate=cfg.dropout_rate, dropout_rng=drop_keys[i],
             dropout_impl=cfg.dropout_impl, interpret=interpret,
@@ -250,3 +266,79 @@ def fused_train_forward(model, params, state, x, *, rng=None,
     if cfg.final_softmax:
         logits = jax.nn.softmax(logits, axis=-1)
     return logits, {"blocks": new_blocks_s}
+
+
+# ---------------------------------------------------------------------------
+# hybrid path: ops chain for the early blocks, fused kernels from fused_from
+# ---------------------------------------------------------------------------
+#
+# Rationale (PERF_r04.md): the fused train path's extra FLOPs are
+# concentrated in the C=64 blocks, whose cp=128 lane padding runs 2x-padded
+# spatial and 4x-padded temporal dots; the C>=128 blocks pad nothing and
+# keep the 36% HBM-traffic saving.  The hybrid runs blocks [0, fused_from)
+# on the ops chain (ntvc, XLA conv) and [fused_from, n) on the fused
+# V-major kernels.  The layout boundary costs ONE transpose of the
+# fused_from block's input (~0.15 ms at B=64 — jnp.transpose inside
+# fused_train_forward), not per-block copies.
+
+
+def _run_ops_prefix(model, params, state, x, j, *, train: bool,
+                    drop_keys=None, precision=None, axis_name=None):
+    """Blocks ``0..j-1`` on the ntvc ops chain.  Returns (h, new_states)."""
+    from stgcn_tpu.ops.block import block_forward
+
+    cfg = model.config
+    cd = cfg.compute_dtype
+    cast = (lambda p: p.astype(cd)
+            if cd is not None and jnp.issubdtype(p.dtype, jnp.floating)
+            else p)
+    bn_axes = (axis_name,) if axis_name is not None else None
+    h = x
+    new_s = []
+    for i, (c_out, stride) in enumerate(cfg.plan[:j]):
+        bp = jax.tree.map(cast, params["blocks"][i])
+        h, s = block_forward(
+            bp, state["blocks"][i], h, model.adjacency,
+            stride=stride, residual=cfg.residual,
+            dropout_rate=cfg.dropout_rate, train=train,
+            dropout_rng=drop_keys[i] if drop_keys else None,
+            bn_axis_names=bn_axes, precision=precision,
+            temporal_impl=cfg.temporal_impl, compute_dtype=cd,
+            spatial_impl=cfg.spatial_impl, dropout_impl=cfg.dropout_impl)
+        new_s.append(s)
+    return h, new_s
+
+
+def hybrid_train_forward(model, params, state, x, *, rng=None,
+                         interpret: bool = False, precision=None,
+                         axis_name=None):
+    """Train logits + state: ops blocks ``[0, fused_from)`` then fused."""
+    cfg = model.config
+    j = cfg.fused_from
+    n_blocks = len(cfg.plan)
+    x = x.astype(cfg.compute_dtype or cfg.dtype)
+    if cfg.dropout_rate > 0:
+        if rng is None:
+            raise ValueError("training with dropout needs rng")
+        drop_keys = list(jax.random.split(rng, n_blocks))
+    else:
+        drop_keys = [None] * n_blocks
+    h, prefix_s = _run_ops_prefix(model, params, state, x, j, train=True,
+                                  drop_keys=drop_keys, precision=precision,
+                                  axis_name=axis_name)
+    logits, suffix = fused_train_forward(
+        model, params, state, h, interpret=interpret, precision=precision,
+        axis_name=axis_name, first_block=j, drop_keys=drop_keys[j:])
+    return logits, {"blocks": prefix_s + suffix["blocks"]}
+
+
+def hybrid_eval_forward(model, params, state, x, *, interpret: bool = False,
+                        precision=None):
+    """Eval logits: ops blocks ``[0, fused_from)`` then chained megakernels."""
+    cfg = model.config
+    x = x.astype(cfg.compute_dtype or cfg.dtype)
+    h, _ = _run_ops_prefix(model, params, state, x, cfg.fused_from,
+                           train=False, precision=precision)
+    return fused_eval_forward(model, params, state, h, interpret=interpret,
+                              precision=precision,
+                              first_block=cfg.fused_from)

@@ -84,8 +84,18 @@ class STGCNConfig:
                                       # the affine+spatial / affine+temporal
                                       # fused pair with custom VJPs and
                                       # exact-BN affines computed outside.
-                                      # Single-chip only (pallas_call is
-                                      # opaque to GSPMD).
+                                      # Multi-chip via the data axis only
+                                      # (parallel/fused_dp.py shard_map).
+                                      # "hybrid" = ops chain for blocks
+                                      # [0, fused_from), fused kernels for
+                                      # the rest — the C=64 blocks pay 2-4x
+                                      # lane-padding waste in the fused
+                                      # train dots while C>=128 blocks pad
+                                      # nothing (PERF_r04.md), so the split
+                                      # takes each block's cheaper regime.
+    fused_from: int = 4               # hybrid only: first fused block index
+                                      # (default 4 = the C=64 stride-1 run
+                                      # stays on ops; 64->128 stride 2 on)
     layout: str = "ntvc"              # "vntc" = V-major single-chip TPU
                                       # production mode: activations run as
                                       # (V, N, T, C) through fused V-major
@@ -124,18 +134,25 @@ class STGCNConfig:
             raise ValueError(
                 f"temporal_impl must be one of conv/conv_vt/shift_sum/"
                 f"block/pallas/auto, got {self.temporal_impl!r}")
-        if self.block_impl not in ("ops", "fused"):
+        if self.block_impl not in ("ops", "fused", "hybrid"):
             raise ValueError(
-                f"block_impl must be 'ops' or 'fused', got {self.block_impl!r}")
-        if self.block_impl == "fused":
+                f"block_impl must be 'ops', 'fused' or 'hybrid', "
+                f"got {self.block_impl!r}")
+        if self.block_impl in ("fused", "hybrid"):
             if self.layout != "ntvc":
                 raise ValueError(
-                    "block_impl='fused' is its own fused V-major path; use "
-                    "it with the default layout='ntvc' input convention")
+                    f"block_impl={self.block_impl!r} is its own fused "
+                    "V-major path; use it with the default layout='ntvc' "
+                    "input convention")
             if self.remat:
                 raise ValueError(
-                    "block_impl='fused' has recompute built into its custom "
-                    "VJPs; remat must stay False")
+                    f"block_impl={self.block_impl!r} has recompute built "
+                    "into its custom VJPs; remat must stay False")
+        if self.block_impl == "hybrid" and not (
+                0 <= self.fused_from <= len(self.plan)):
+            raise ValueError(
+                f"fused_from must be in [0, {len(self.plan)}], "
+                f"got {self.fused_from}")
         if self.layout == "vntc" and self.remat == "selective":
             # The V-major fused-kernel blocks carry no checkpoint_name tags,
             # so the selective save-conv-anchors policy would silently become
@@ -211,21 +228,33 @@ class STGCN:
         cfg = self.config
         if temporal_impl is None:
             temporal_impl = cfg.temporal_impl
-        if cfg.block_impl == "fused":
-            # Whole-block Pallas kernels: single-chip only (pallas_call is
-            # opaque to GSPMD), fixed dense layout (no time_mask support).
+        if cfg.block_impl in ("fused", "hybrid"):
+            # Whole-block Pallas kernels: GSPMD cannot partition pallas_call
+            # (data-parallel meshes go through parallel/fused_dp.py's
+            # explicit shard_map instead), fixed dense layout (no time_mask).
             if (bn_axis_names is not None or constrain is not None
                     or callable(temporal_impl) or time_mask is not None):
                 raise ValueError(
-                    "block_impl='fused' cannot compose with mesh sharding "
-                    "hooks or time_mask; use block_impl='ops' for sharded "
-                    "or masked runs")
+                    f"block_impl={cfg.block_impl!r} cannot compose with "
+                    "GSPMD sharding hooks or time_mask; use "
+                    "block_impl='ops' for time/model-sharded or masked "
+                    "runs (data parallelism: parallel/fused_dp.py)")
             from stgcn_tpu.models.fused import (
                 fused_eval_forward,
                 fused_train_forward,
+                hybrid_eval_forward,
+                hybrid_train_forward,
             )
 
             interpret = jax.default_backend() != "tpu"
+            if cfg.block_impl == "hybrid":
+                if train:
+                    return hybrid_train_forward(self, params, state, x,
+                                                rng=rng, interpret=interpret,
+                                                precision=precision)
+                return (hybrid_eval_forward(self, params, state, x,
+                                            interpret=interpret,
+                                            precision=precision), state)
             if train:
                 return fused_train_forward(self, params, state, x, rng=rng,
                                            interpret=interpret,
