@@ -213,6 +213,7 @@ class STGCN:
         precision=None,
         constrain=None,
         temporal_impl: str | None = None,
+        spatial_impl=None,
     ) -> tuple[jax.Array, dict]:
         """Forward pass.
 
@@ -228,12 +229,15 @@ class STGCN:
         cfg = self.config
         if temporal_impl is None:
             temporal_impl = cfg.temporal_impl
+        if spatial_impl is None:
+            spatial_impl = cfg.spatial_impl
         if cfg.block_impl in ("fused", "hybrid"):
             # Whole-block Pallas kernels: GSPMD cannot partition pallas_call
             # (data-parallel meshes go through parallel/fused_dp.py's
             # explicit shard_map instead), fixed dense layout (no time_mask).
             if (bn_axis_names is not None or constrain is not None
-                    or callable(temporal_impl) or time_mask is not None):
+                    or callable(temporal_impl) or callable(spatial_impl)
+                    or time_mask is not None):
                 raise ValueError(
                     f"block_impl={cfg.block_impl!r} cannot compose with "
                     "GSPMD sharding hooks or time_mask; use "
@@ -291,7 +295,7 @@ class STGCN:
             # Sharded runs use layout="ntvc" (the halo-exchange conv already
             # wraps the fused kernels per-shard; parallel/train.py).
             if (bn_axis_names is not None or constrain is not None
-                    or callable(temporal_impl)):
+                    or callable(temporal_impl) or callable(spatial_impl)):
                 raise ValueError(
                     "layout='vntc' is the single-chip fused-kernel path and "
                     "cannot compose with mesh sharding hooks (bn_axis_names/"
@@ -318,7 +322,7 @@ class STGCN:
                     precision=precision, constrain=constrain,
                     temporal_impl=temporal_impl,
                     compute_dtype=cfg.compute_dtype,
-                    spatial_impl=cfg.spatial_impl,
+                    spatial_impl=spatial_impl,
                     dropout_impl=cfg.dropout_impl,
                 )
 

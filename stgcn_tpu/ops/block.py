@@ -139,7 +139,13 @@ def block_forward(
                                  precision=precision, impl=temporal_impl,
                                  compute_dtype=compute_dtype)
 
-    if spatial_impl == "pallas":
+    if callable(spatial_impl):
+        # an externally built spatial conv (e.g. the shard_map boundary-
+        # joint exchange, stgcn_tpu.parallel.spatial_halo) — it owns
+        # precision/dtype handling and receives the effective adjacency
+        def apply_spatial(h):
+            return spatial_impl(params["spatial"], A, h)
+    elif spatial_impl == "pallas":
         from stgcn_tpu.kernels.spatial_conv import spatial_conv_fused
 
         def apply_spatial(h):

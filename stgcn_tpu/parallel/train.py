@@ -141,6 +141,23 @@ def _resolve_temporal_impl(mesh: Mesh, model, *, precision,
                                    inner_impl=inner, precision=precision)
 
 
+def _resolve_spatial_impl(mesh: Mesh, model, *, precision,
+                          shard_joints: bool):
+    """Joint-sharded meshes with a model axis use the explicit boundary-
+    joint exchange (parallel/spatial_halo) instead of GSPMD constraint
+    plumbing — the engineered all-gather of only the cut joints, issued off
+    the local aggregation's critical path.  The "reference" trained-A mode
+    keeps GSPMD: its adjacency support can grow during training, which
+    would invalidate the static exchange plan."""
+    if (shard_joints and mesh.shape[mesh_lib.AXIS_MODEL] > 1
+            and model.config.adjacency_mode != "reference"):
+        from stgcn_tpu.parallel.spatial_halo import make_halo_spatial_conv
+
+        return make_halo_spatial_conv(mesh, model.adjacency,
+                                      precision=precision)
+    return None  # model.apply falls back to the configured impl
+
+
 def make_sharded_train_step(
     model, optimizer: optax.GradientTransformation, mesh: Mesh,
     shardings: TrainState, *, precision=None, donate: bool = True,
@@ -173,6 +190,8 @@ def make_sharded_train_step(
     constrain = mesh_lib.activation_constrainer(mesh, shard_joints)
     temporal_impl = _resolve_temporal_impl(mesh, model, precision=precision,
                                            shard_joints=shard_joints)
+    spatial_impl = _resolve_spatial_impl(mesh, model, precision=precision,
+                                         shard_joints=shard_joints)
 
     def step(ts: TrainState, x: jax.Array, y: jax.Array,
              time_mask: jax.Array | None = None):
@@ -182,7 +201,8 @@ def make_sharded_train_step(
             logits, new_mstate = model.apply(
                 params, ts.model_state, x, train=True, rng=step_rng,
                 time_mask=time_mask, precision=precision,
-                constrain=constrain, temporal_impl=temporal_impl)
+                constrain=constrain, temporal_impl=temporal_impl,
+                spatial_impl=spatial_impl)
             return M.cross_entropy(logits, y), (logits, new_mstate)
 
         (loss, (logits, new_mstate)), grads = jax.value_and_grad(
@@ -221,11 +241,14 @@ def make_sharded_eval_step(model, mesh: Mesh, shardings: TrainState,
 
     temporal_impl = _resolve_temporal_impl(mesh, model, precision=precision,
                                            shard_joints=shard_joints)
+    spatial_impl = _resolve_spatial_impl(mesh, model, precision=precision,
+                                         shard_joints=shard_joints)
 
     def step(ts: TrainState, x: jax.Array, y: jax.Array):
         logits, _ = model.apply(ts.params, ts.model_state, x, train=False,
                                 precision=precision, constrain=constrain,
-                                temporal_impl=temporal_impl)
+                                temporal_impl=temporal_impl,
+                                spatial_impl=spatial_impl)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
         pred = jnp.argmax(logits, axis=-1)
