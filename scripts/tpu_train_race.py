@@ -35,12 +35,15 @@ sys.path.insert(0, REPO)
 
 VARIANTS = ("ops", "fused", "fused_fixed", "hybrid1", "hybrid4", "hybrid5",
             "hybrid7", "ops_fixed")
+# plus "hb:<i,j,...>" — hybrid with an explicit fused-block set, e.g.
+# "hb:1,2,3,4,5,6" = ops for blocks 0 and 7-9, fused (packed where c64/s1)
+# for the rest
 
 
 def main() -> int:
     variant = sys.argv[1] if len(sys.argv) > 1 else "ops"
-    if variant not in VARIANTS:
-        raise SystemExit(f"variant must be one of {VARIANTS}")
+    if variant not in VARIANTS and not variant.startswith("hb:"):
+        raise SystemExit(f"variant must be one of {VARIANTS} or hb:<i,..>")
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     t = 304
 
@@ -67,6 +70,10 @@ def main() -> int:
         kw.update(block_impl="fused", adjacency_mode="fixed")
     elif variant == "ops_fixed":
         kw.update(adjacency_mode="fixed")
+    elif variant.startswith("hb:"):
+        kw.update(block_impl="hybrid",
+                  fused_blocks=tuple(int(v) for v in
+                                     variant[3:].split(",")))
     elif variant.startswith("hybrid"):
         kw.update(block_impl="hybrid", fused_from=int(variant[6:]))
 

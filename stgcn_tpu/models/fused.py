@@ -168,6 +168,11 @@ def block_forward_fused_train(bp, bs, x, adjacency, *, stride: int,
         spatial_block_vm,
         temporal_block_vm,
     )
+    from stgcn_tpu.kernels.block_packed import (
+        packable,
+        spatial_block_packed,
+        temporal_block_packed,
+    )
     from stgcn_tpu.ops.block import effective_adjacency
     from stgcn_tpu.ops.common import dropout as dropout_op
 
@@ -182,15 +187,32 @@ def block_forward_fused_train(bp, bs, x, adjacency, *, stride: int,
     # adjacency cotangent is unused, so the backward kernel skips its z_k
     # recompute (one stage1-size + one aggregation-size dot per partition)
     need_da = "A" in bp or "mask" in bp
-    z = spatial_block_vm(x, s1, t1, bp["spatial"]["w"].astype(x.dtype),
-                         bp["spatial"]["b"].astype(x.dtype), A,
-                         residual, interpret, precision, need_da)
+    gamma = wt.shape[0]
+    packed = packable(c_out, stride, x.shape[2], gamma)
+    if packed:
+        # C=64 stride-1 blocks: two frames per 128-lane row — kills the
+        # cp=128 padding waste (4x on temporal taps, 2x on aggregation);
+        # kernels/block_packed.py.  Output carries NO lane padding.
+        z = spatial_block_packed(x, s1, t1,
+                                 bp["spatial"]["w"].astype(x.dtype),
+                                 bp["spatial"]["b"].astype(x.dtype), A,
+                                 residual, interpret, precision, need_da)
+    else:
+        z = spatial_block_vm(x, s1, t1, bp["spatial"]["w"].astype(x.dtype),
+                             bp["spatial"]["b"].astype(x.dtype), A,
+                             residual, interpret, precision, need_da)
     if residual:
         s2, t2, new_state["bn2"] = _bn_affine_train(
-            bp["bn2"], bs["bn2"], z[..., :c_out], axis_name=axis_name)
-        u = temporal_block_vm(z, s2, t2, wt.astype(x.dtype),
-                              bp["temporal"]["b"].astype(jnp.float32),
-                              stride, True, interpret, precision)
+            bp["bn2"], bs["bn2"], z if packed else z[..., :c_out],
+            axis_name=axis_name)
+        if packed:
+            u = temporal_block_packed(z, s2, t2, wt.astype(x.dtype),
+                                      bp["temporal"]["b"].astype(jnp.float32),
+                                      True, interpret, precision)
+        else:
+            u = temporal_block_vm(z, s2, t2, wt.astype(x.dtype),
+                                  bp["temporal"]["b"].astype(jnp.float32),
+                                  stride, True, interpret, precision)
         if "residual_proj" in bp:
             rp = bp["residual_proj"]
             short = x[:, :, ::stride] if stride != 1 else x
@@ -205,9 +227,15 @@ def block_forward_fused_train(bp, bs, x, adjacency, *, stride: int,
     else:
         ident_s = jnp.ones((c_out,), jnp.float32)
         ident_t = jnp.zeros((c_out,), jnp.float32)
-        u = temporal_block_vm(z, ident_s, ident_t, wt.astype(x.dtype),
-                              bp["temporal"]["b"].astype(jnp.float32),
-                              stride, False, interpret, precision)
+        if packed:
+            u = temporal_block_packed(z, ident_s, ident_t,
+                                      wt.astype(x.dtype),
+                                      bp["temporal"]["b"].astype(jnp.float32),
+                                      False, interpret, precision)
+        else:
+            u = temporal_block_vm(z, ident_s, ident_t, wt.astype(x.dtype),
+                                  bp["temporal"]["b"].astype(jnp.float32),
+                                  stride, False, interpret, precision)
         from stgcn_tpu.ops.batchnorm import batchnorm
 
         out, new_state["bn2"] = batchnorm(
@@ -282,9 +310,17 @@ def fused_train_forward(model, params, state, x, *, rng=None,
 # fused_train_forward), not per-block copies.
 
 
-def _run_ops_prefix(model, params, state, x, j, *, train: bool,
-                    drop_keys=None, precision=None, axis_name=None):
-    """Blocks ``0..j-1`` on the ntvc ops chain.  Returns (h, new_states)."""
+def hybrid_fused_set(cfg) -> frozenset:
+    """The block indices the hybrid runs fused: ``fused_blocks`` if given,
+    else the ``[fused_from, n)`` suffix."""
+    if cfg.fused_blocks is not None:
+        return frozenset(cfg.fused_blocks)
+    return frozenset(range(cfg.fused_from, len(cfg.plan)))
+
+
+def _ops_block(model, params, state, h, i, stride, *, train, drop_key,
+               precision, axis_name):
+    """One ntvc ops block with the apply-entry param cast."""
     from stgcn_tpu.ops.block import block_forward
 
     cfg = model.config
@@ -292,29 +328,29 @@ def _run_ops_prefix(model, params, state, x, j, *, train: bool,
     cast = (lambda p: p.astype(cd)
             if cd is not None and jnp.issubdtype(p.dtype, jnp.floating)
             else p)
-    bn_axes = (axis_name,) if axis_name is not None else None
-    h = x
-    new_s = []
-    for i, (c_out, stride) in enumerate(cfg.plan[:j]):
-        bp = jax.tree.map(cast, params["blocks"][i])
-        h, s = block_forward(
-            bp, state["blocks"][i], h, model.adjacency,
-            stride=stride, residual=cfg.residual,
-            dropout_rate=cfg.dropout_rate, train=train,
-            dropout_rng=drop_keys[i] if drop_keys else None,
-            bn_axis_names=bn_axes, precision=precision,
-            temporal_impl=cfg.temporal_impl, compute_dtype=cd,
-            spatial_impl=cfg.spatial_impl, dropout_impl=cfg.dropout_impl)
-        new_s.append(s)
-    return h, new_s
+    bp = jax.tree.map(cast, params["blocks"][i])
+    return block_forward(
+        bp, state["blocks"][i], h, model.adjacency,
+        stride=stride, residual=cfg.residual,
+        dropout_rate=cfg.dropout_rate, train=train, dropout_rng=drop_key,
+        bn_axis_names=(axis_name,) if axis_name is not None else None,
+        precision=precision, temporal_impl=cfg.temporal_impl,
+        compute_dtype=cd, spatial_impl=cfg.spatial_impl,
+        dropout_impl=cfg.dropout_impl)
 
 
 def hybrid_train_forward(model, params, state, x, *, rng=None,
                          interpret: bool = False, precision=None,
                          axis_name=None):
-    """Train logits + state: ops blocks ``[0, fused_from)`` then fused."""
+    """Train logits + state: each block on its cheaper regime.
+
+    Blocks in :func:`hybrid_fused_set` run the fused V-major kernels
+    (packed where eligible); the rest run the ntvc ops chain.  The layout
+    transposes only at regime boundaries (~0.15 ms each at B=64 — cheap
+    against the per-block deltas the r5 race measured).
+    """
     cfg = model.config
-    j = cfg.fused_from
+    fused_set = hybrid_fused_set(cfg)
     n_blocks = len(cfg.plan)
     x = x.astype(cfg.compute_dtype or cfg.dtype)
     if cfg.dropout_rate > 0:
@@ -323,22 +359,85 @@ def hybrid_train_forward(model, params, state, x, *, rng=None,
         drop_keys = list(jax.random.split(rng, n_blocks))
     else:
         drop_keys = [None] * n_blocks
-    h, prefix_s = _run_ops_prefix(model, params, state, x, j, train=True,
-                                  drop_keys=drop_keys, precision=precision,
-                                  axis_name=axis_name)
-    logits, suffix = fused_train_forward(
-        model, params, state, h, interpret=interpret, precision=precision,
-        axis_name=axis_name, first_block=j, drop_keys=drop_keys[j:])
-    return logits, {"blocks": prefix_s + suffix["blocks"]}
+
+    h, layout = x, "ntvc"
+    new_s = []
+    for i, (c_out, stride) in enumerate(cfg.plan):
+        want = "vntc" if i in fused_set else "ntvc"
+        if want != layout:
+            # (N,T,V,C) <-> (V,N,T,C)
+            h = jnp.transpose(h, (2, 0, 1, 3) if want == "vntc"
+                              else (1, 2, 0, 3))
+            layout = want
+        if want == "vntc":
+            h, s = block_forward_fused_train(
+                params["blocks"][i], state["blocks"][i], h, model.adjacency,
+                stride=stride, residual=cfg.residual,
+                dropout_rate=cfg.dropout_rate, dropout_rng=drop_keys[i],
+                dropout_impl=cfg.dropout_impl, interpret=interpret,
+                precision=precision, axis_name=axis_name)
+        else:
+            h, s = _ops_block(model, params, state, h, i, stride,
+                              train=True, drop_key=drop_keys[i],
+                              precision=precision, axis_name=axis_name)
+        new_s.append(s)
+
+    acc = jnp.promote_types(h.dtype, jnp.float32)
+    pool_axes = (0, 2) if layout == "vntc" else (1, 2)
+    pooled = jnp.mean(h.astype(acc), axis=pool_axes)
+    logits = linear(_cast_head(params["fc"], h.dtype),
+                    pooled.astype(h.dtype), precision=precision)
+    if cfg.final_softmax:
+        logits = jax.nn.softmax(logits, axis=-1)
+    return logits, {"blocks": new_s}
 
 
 def hybrid_eval_forward(model, params, state, x, *, interpret: bool = False,
                         precision=None):
-    """Eval logits: ops blocks ``[0, fused_from)`` then chained megakernels."""
+    """Eval logits: ops blocks on ntvc, fused runs as chained megakernels
+    (padded-T chaining WITHIN each consecutive fused run)."""
+    from stgcn_tpu.kernels.block_fused import block_tp
+
     cfg = model.config
+    fused_set = hybrid_fused_set(cfg)
     x = x.astype(cfg.compute_dtype or cfg.dtype)
-    h, _ = _run_ops_prefix(model, params, state, x, cfg.fused_from,
-                           train=False, precision=precision)
-    return fused_eval_forward(model, params, state, h, interpret=interpret,
-                              precision=precision,
-                              first_block=cfg.fused_from)
+    pad_l = (cfg.gamma - 1) // 2
+    c_prev = cfg.c_in
+
+    h, layout = x, "ntvc"
+    t = x.shape[1]
+    chained = False
+    for i, (c_out, stride) in enumerate(cfg.plan):
+        want = "vntc" if i in fused_set else "ntvc"
+        if want != layout:
+            h = jnp.transpose(h, (2, 0, 1, 3) if want == "vntc"
+                              else (1, 2, 0, 3))
+            layout = want
+            chained = False
+        t_out = (t + 2 * pad_l - cfg.gamma) // stride + 1
+        if want == "vntc":
+            kw = fused_block_args(params["blocks"][i], state["blocks"][i],
+                                  model.adjacency, residual=cfg.residual,
+                                  c_in=c_prev, c_out=c_out, stride=stride)
+            next_fused = (i + 1 < len(cfg.plan)) and (i + 1) in fused_set
+            out_tp = (block_tp(t_out, cfg.plan[i + 1][1], cfg.gamma)
+                      if next_fused else None)
+            h = fused_block_vm(h, **kw, t_valid=t if chained else None,
+                               out_tp=out_tp, interpret=interpret,
+                               precision=precision)
+            chained = out_tp is not None
+        else:
+            h, _ = _ops_block(model, params, state, h, i, stride,
+                              train=False, drop_key=None,
+                              precision=precision, axis_name=None)
+        t = t_out
+        c_prev = c_out
+
+    acc = jnp.promote_types(h.dtype, jnp.float32)
+    pool_axes = (0, 2) if layout == "vntc" else (1, 2)
+    pooled = jnp.mean(h.astype(acc), axis=pool_axes)
+    logits = linear(_cast_head(params["fc"], h.dtype),
+                    pooled.astype(h.dtype), precision=precision)
+    if cfg.final_softmax:
+        logits = jax.nn.softmax(logits, axis=-1)
+    return logits

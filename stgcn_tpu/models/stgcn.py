@@ -96,6 +96,13 @@ class STGCNConfig:
     fused_from: int = 4               # hybrid only: first fused block index
                                       # (default 4 = the C=64 stride-1 run
                                       # stays on ops; 64->128 stride 2 on)
+    fused_blocks: tuple | None = None  # hybrid only: explicit block-index
+                                      # set to run fused (overrides
+                                      # fused_from) — the r5 race shows the
+                                      # optimum is not a prefix split
+                                      # (fused helps the strided/mid blocks,
+                                      # the c256 tail's backward recompute
+                                      # hurts; runs/train_race_r05.jsonl)
     layout: str = "ntvc"              # "vntc" = V-major single-chip TPU
                                       # production mode: activations run as
                                       # (V, N, T, C) through fused V-major
@@ -148,11 +155,19 @@ class STGCNConfig:
                 raise ValueError(
                     f"block_impl={self.block_impl!r} has recompute built "
                     "into its custom VJPs; remat must stay False")
-        if self.block_impl == "hybrid" and not (
-                0 <= self.fused_from <= len(self.plan)):
+        if (self.block_impl == "hybrid" and self.fused_blocks is None
+                and not 0 <= self.fused_from <= len(self.plan)):
             raise ValueError(
                 f"fused_from must be in [0, {len(self.plan)}], "
                 f"got {self.fused_from}")
+        if self.fused_blocks is not None:
+            fb = tuple(self.fused_blocks)
+            if sorted(set(fb)) != list(fb) or any(
+                    not 0 <= i < len(self.plan) for i in fb):
+                raise ValueError(
+                    f"fused_blocks must be sorted unique indices in "
+                    f"[0, {len(self.plan)}), got {self.fused_blocks}")
+            object.__setattr__(self, "fused_blocks", fb)
         if self.layout == "vntc" and self.remat == "selective":
             # The V-major fused-kernel blocks carry no checkpoint_name tags,
             # so the selective save-conv-anchors policy would silently become

@@ -71,6 +71,35 @@ def test_hybrid_trajectory_matches_ops(fused_from):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_hybrid_fused_blocks_set_matches_ops():
+    """Non-contiguous fused sets (ops/fused interleaved) stay correct —
+    values eval-side and the 3-step trajectory train-side."""
+    x, y = _xy()
+    m_ops = STGCN(BASE)
+    params, state = m_ops.init(jax.random.key(0))
+    ref, _ = m_ops.apply(params, state, x, train=False)
+    for fb in ((1,), (0, 2), (1, 2)):
+        m_h = STGCN(dc.replace(BASE, block_impl="hybrid", fused_blocks=fb))
+        got, _ = m_h.apply(params, state, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4, err_msg=str(fb))
+
+    m_h = STGCN(dc.replace(BASE, block_impl="hybrid", fused_blocks=(0, 2)))
+    ts_o = create_train_state(m_ops, optax.adam(1e-3), seed=0)
+    ts_h = create_train_state(m_h, optax.adam(1e-3), seed=0)
+    step_o = make_train_step(m_ops, optax.adam(1e-3), donate=False)
+    step_h = make_train_step(m_h, optax.adam(1e-3), donate=False)
+    for _ in range(3):
+        ts_o, mo = step_o(ts_o, x, y)
+        ts_h, mh = step_h(ts_h, x, y)
+        np.testing.assert_allclose(float(mh["loss"]), float(mo["loss"]),
+                                   rtol=2e-3, atol=2e-4)
+    with pytest.raises(ValueError, match="fused_blocks"):
+        STGCNConfig(plan=PLAN, block_impl="hybrid", fused_blocks=(2, 1))
+    with pytest.raises(ValueError, match="fused_blocks"):
+        STGCNConfig(plan=PLAN, block_impl="hybrid", fused_blocks=(0, 9))
+
+
 def test_hybrid_config_validation():
     with pytest.raises(ValueError, match="fused_from"):
         STGCNConfig(plan=PLAN, block_impl="hybrid", fused_from=4)
