@@ -56,10 +56,18 @@ def bench_ours(batch: int, t: int, steps: int = 20,
 
     bf16 = precision == "bf16"
     # temporal_impl="auto" = measured-best kernel per backend (conv_vt on
-    # TPU: 78.0 vs 80.5 ms/step for plain conv; PERF_r03.md lever table)
+    # TPU: 78.0 vs 80.5 ms/step for plain conv; PERF_r03.md lever table).
+    # block_impl: the r5 race winner on TPU is the hybrid with blocks 1-7
+    # fused (packed C=64 kernels + fused c128 run, c256 tail on the op
+    # chain): 71.2 ms vs 77.6 ops (runs/train_race_r05.jsonl).  Off-TPU the
+    # fused kernels would run interpret-mode, so the ops chain stays.
+    kw: dict = {}
+    if jax.default_backend() == "tpu":
+        kw = dict(block_impl="hybrid", fused_blocks=(0, 1, 2, 3, 4, 5, 6))
     model = STGCN(STGCNConfig(strategy=Strategy.DISTANCE, d=1, residual=True,
                               dropout_rate=0.5, temporal_impl="auto",
-                              compute_dtype=jnp.bfloat16 if bf16 else None))
+                              compute_dtype=jnp.bfloat16 if bf16 else None,
+                              **kw))
     opt = optax.adam(1e-3)
     ts = create_train_state(model, opt, seed=0,
                             rng_impl="rbg" if bf16 else None)

@@ -51,8 +51,14 @@ def run_pair(precision: str, impl: str) -> dict:
     kw: dict = dict(strategy=Strategy.DISTANCE, d=1, residual=True,
                     dropout_rate=0.0, temporal_impl="auto",
                     compute_dtype=jnp.bfloat16 if bf16 else None)
-    fused_kw = dict(kw, block_impl="hybrid", fused_from=int(impl[6:])) \
-        if impl.startswith("hybrid") else dict(kw, block_impl="fused")
+    if impl.startswith("hb:"):
+        fused_kw = dict(kw, block_impl="hybrid",
+                        fused_blocks=tuple(int(v)
+                                           for v in impl[3:].split(",")))
+    elif impl.startswith("hybrid"):
+        fused_kw = dict(kw, block_impl="hybrid", fused_from=int(impl[6:]))
+    else:
+        fused_kw = dict(kw, block_impl="fused")
 
     x, y = random_batch(np.random.default_rng(0), BATCH, T)
     x, y = jnp.asarray(x), jnp.asarray(y)

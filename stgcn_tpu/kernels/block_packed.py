@@ -572,3 +572,221 @@ def _tp_bwd_rule(relu2, interpret, precision, res, g):
 
 
 temporal_block_packed.defvjp(_tp_fwd_rule, _tp_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# eval megakernel, packed: the whole block in one VMEM-resident pass
+# ---------------------------------------------------------------------------
+#
+# The serving forward (kernels/block_fused.fused_block_vm) pays the same
+# cp=128 padding in its C=64 blocks as the train ops did.  This variant runs
+# the identical block chain in the packed-pair layout; eligible consecutive
+# blocks chain in a padded-ROW layout (the packed analog of block_tp).
+
+
+def block_rows(t: int, gamma: int = 9, tc: int = 64) -> int:
+    """Padded packed-row extent a packed eval block wants for logical t."""
+    t2n = t // PACK
+    r_taps = (gamma + 1) // 2
+    fr = (gamma - 1) // 2 // PACK
+    t_out_p = _roundup(t2n, 16)
+    return _roundup(max(fr + t2n, t_out_p - 1 + r_taps), tc)
+
+
+def _mega_packed_kernel(*refs, k_parts: int, r_taps: int, fr: int,
+                        t2n: int, t_out_p: int, tc: int, order: str,
+                        shortcut: str, relu1: bool, final_relu: bool,
+                        out_off: int = 0, precision=None):
+    it = iter(refs)
+    x_ref, s1_ref, t1_ref, w_ref, b_ref, a_ref = (next(it) for _ in range(6))
+    wt_ref, bt_ref, s2_ref, t2_ref = (next(it) for _ in range(4))
+    wr_ref = br_ref = None
+    if shortcut == "proj":
+        wr_ref, br_ref = next(it), next(it)
+    out_ref = next(it)
+    z_scr = next(it)
+    r_scr = next(it) if shortcut == "proj" else None
+
+    v, _, rows, ci2 = x_ref.shape
+    x = x_ref[:].reshape(v, rows, ci2)
+    s1 = s1_ref[:].reshape(1, 1, ci2).astype(jnp.float32)
+    t1 = t1_ref[:].reshape(1, 1, ci2).astype(jnp.float32)
+    s2 = s2_ref[:].reshape(1, 1, CO2).astype(jnp.float32)
+    t2 = t2_ref[:].reshape(1, 1, CO2).astype(jnp.float32)
+    cdtype = x_ref.dtype
+
+    for ci in range(rows // tc):
+        xc = x[:, ci * tc:(ci + 1) * tc, :].astype(jnp.float32)
+        h = xc * s1 + t1
+        if relu1:
+            h = jnp.maximum(h, 0.0)
+        h2 = h.astype(cdtype).reshape(v * tc, ci2)
+        acc = jnp.zeros((v, tc * CO2), jnp.float32)
+        for kk in range(k_parts):
+            y = jax.lax.dot_general(
+                h2, w_ref[kk], dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+            y = (y + b_ref[kk]).astype(cdtype)
+            acc += jax.lax.dot_general(
+                a_ref[kk], y.reshape(v, tc, CO2).reshape(v, tc * CO2),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+        zc = acc.reshape(v, tc, CO2)
+        if order == "pre":
+            zc = jnp.maximum(zc * s2 + t2, 0.0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, tc, 1), 1) + ci * tc
+        zc = jnp.where((row >= fr) & (row < fr + t2n), zc, 0.0)
+        z_scr[:, ci * tc:(ci + 1) * tc, :] = zc.astype(cdtype)
+        if shortcut == "proj":
+            r = jax.lax.dot_general(
+                x[:, ci * tc:(ci + 1) * tc, :].reshape(v * tc, ci2),
+                wr_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+            r = r + br_ref[:]
+            r_scr[:, ci * tc:(ci + 1) * tc, :] = \
+                r.reshape(v, tc, CO2).astype(cdtype)
+
+    acc = jnp.zeros((v * t_out_p, CO2), jnp.float32)
+    zv = z_scr[:]
+    for r in range(r_taps):
+        zg = zv[:, r:r + t_out_p, :].reshape(v * t_out_p, CO2)
+        acc += jax.lax.dot_general(
+            zg, wt_ref[r], dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+    u = acc.reshape(v, t_out_p, CO2) + bt_ref[:].reshape(1, 1, CO2).astype(
+        jnp.float32)
+    if order == "post":
+        u = u * s2 + t2
+    if shortcut == "id":
+        u = u + x[:, fr:fr + t_out_p, :].astype(jnp.float32)
+    elif shortcut == "proj":
+        u = u + r_scr[:, fr:fr + t_out_p, :].astype(jnp.float32)
+    if final_relu:
+        u = jnp.maximum(u, 0.0)
+    res = u.reshape(v, 1, t_out_p, CO2).astype(out_ref.dtype)
+    out_rows = out_ref.shape[2]
+    if out_off == 0 and out_rows == t_out_p:
+        out_ref[:] = res
+    else:
+        out_ref[:, :, 0:out_off, :] = jnp.zeros(
+            (v, 1, out_off, CO2), out_ref.dtype)
+        out_ref[:, :, out_off:out_off + t_out_p, :] = res
+        tail = out_rows - out_off - t_out_p
+        if tail > 0:
+            out_ref[:, :, out_off + t_out_p:out_rows, :] = jnp.zeros(
+                (v, 1, tail, CO2), out_ref.dtype)
+
+
+def fused_block_packed_eval(x, s1, t1, w, b, a, wt, bt, s2, t2, wr=None,
+                            br=None, *, order: str = "post",
+                            shortcut: str = "none", relu1: bool = False,
+                            final_relu: bool = True,
+                            t_valid: int | None = None,
+                            out_rows: int | None = None,
+                            interpret: bool = False, precision=None):
+    """Whole C_out=64/stride-1 block as one packed eval megakernel.
+
+    ``x``: ``(V, N, T, C_in)`` logical (``t_valid`` None), or the packed
+    padded-row layout ``(V, N, block_rows(t_valid), 2*C_in)`` a previous
+    packed block emitted (``t_valid`` set).  ``out_rows`` chains into the
+    next packed block's input layout (valid rows at offset fr, margins
+    zeroed).  Returns packed ``(V, N, rows_or_t_out_p, 128)``; slice rows
+    to T/2 and reshape for the logical view.
+    """
+    gamma = wt.shape[0]
+    k_parts = a.shape[0]
+    r_taps = (gamma + 1) // 2
+    fr = (gamma - 1) // 2 // PACK
+    tc = 64
+    if t_valid is not None:
+        v, n, rows, ci2 = x.shape
+        t = t_valid
+        if rows != block_rows(t, gamma, tc):
+            raise ValueError(f"packed rows {rows} != block_rows({t}) = "
+                             f"{block_rows(t, gamma, tc)}")
+        xp = x
+        c_in = ci2 // PACK
+    else:
+        v, n, t, c_in = x.shape
+        t2n = t // PACK
+        rows = block_rows(t, gamma, tc)
+        xv = x.reshape(v, n, t2n, PACK * c_in)
+        xp = jnp.pad(xv, [(0, 0), (0, 0), (fr, rows - t2n - fr), (0, 0)])
+        ci2 = PACK * c_in
+    t2n = t // PACK
+    t_out_p = _roundup(t2n, 16)
+    cdtype = x.dtype
+
+    w2, b2 = _pack_w_spatial(w, b, cdtype)
+    wt2 = _pack_w_temporal(wt, cdtype)
+    inputs = [xp, _tile2(s1), _tile2(t1), w2, b2, a.astype(cdtype), wt2,
+              _tile2(bt), _tile2(s2), _tile2(t2)]
+    in_specs = [
+        pl.BlockSpec((v, 1, rows, ci2), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ci2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ci2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_parts, ci2, CO2), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_parts, 1, CO2), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_parts, v, v), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_taps, CO2, CO2), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CO2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CO2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, CO2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if shortcut == "proj":
+        if wr is None or br is None:
+            raise ValueError("shortcut='proj' needs wr/br")
+        wr_top = jnp.concatenate(
+            [wr, jnp.zeros_like(wr)], axis=1)
+        wr_bot = jnp.concatenate(
+            [jnp.zeros_like(wr), wr], axis=1)
+        inputs += [jnp.concatenate([wr_top, wr_bot], axis=0).astype(cdtype),
+                   _tile2(br)]
+        in_specs += [
+            pl.BlockSpec((ci2, CO2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CO2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    elif shortcut == "id" and ci2 != CO2:
+        raise ValueError("identity shortcut needs C_in == C_out")
+
+    scratch = [pltpu.VMEM((v, rows, CO2), cdtype)]
+    if shortcut == "proj":
+        scratch.append(pltpu.VMEM((v, rows, CO2), cdtype))
+
+    out_total = out_rows if out_rows is not None else t_out_p
+    out_off = fr if out_rows is not None else 0
+    if out_rows is not None and out_rows < fr + t_out_p:
+        raise ValueError(f"out_rows {out_rows} too small")
+    kernel = functools.partial(
+        _mega_packed_kernel, k_parts=k_parts, r_taps=r_taps, fr=fr,
+        t2n=t2n, t_out_p=t_out_p, tc=tc, order=order, shortcut=shortcut,
+        relu1=relu1, final_relu=final_relu, out_off=out_off,
+        precision=precision)
+    itemsize = jnp.dtype(cdtype).itemsize
+    m = n * t
+    flops = (2 * m * v * c_in * k_parts * 64    # stage 1 (useful)
+             + 2 * (m // PACK) * k_parts * v * v * CO2   # aggregation
+             + 2 * (m // PACK) * v * r_taps * CO2 * CO2)  # packed taps
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((v, 1, out_total, CO2),
+                               lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((v, n, out_total, CO2), cdtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(xp.size + v * n * out_total * CO2) * itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(*inputs)

@@ -55,6 +55,11 @@ def fused_eval_forward(model, params, state, x, *, interpret: bool = False,
     Returns ``(N, classes)`` logits (softmax applied if the config says so).
     """
     from stgcn_tpu.kernels.block_fused import block_tp
+    from stgcn_tpu.kernels.block_packed import (
+        block_rows,
+        fused_block_packed_eval,
+        packable,
+    )
 
     cfg = model.config
     # Only the activations change dtype: the kernel casts each weight to the
@@ -63,9 +68,14 @@ def fused_eval_forward(model, params, state, x, *, interpret: bool = False,
     x = x.astype(cfg.compute_dtype or cfg.dtype)
 
     h = jnp.transpose(x, (2, 0, 1, 3))  # (V, N, T, C)
+    n_seq = h.shape[1]
     # Chained padded-T layout: block i writes its output directly into the
     # T-padded buffer block i+1 reads, so no jnp.pad copy exists between
     # blocks (profiled at 16% of the unchained forward, PERF_r04.md).
+    # C=64 stride-1 blocks run the PACKED megakernel (two frames per
+    # 128-lane row, kernels/block_packed.py) with their own padded-ROW
+    # chaining; the packed->unpacked boundary is a free reshape plus one
+    # jnp.pad for the next block.
     t = h.shape[2]
     plan = cfg.plan[first_block:]
     lengths, strides = [t], [s for (_, s) in plan]
@@ -74,19 +84,39 @@ def fused_eval_forward(model, params, state, x, *, interpret: bool = False,
         t = (t + 2 * pad_l - cfg.gamma) // s + 1
         lengths.append(t)
     c_prev = cfg.c_in if first_block == 0 else cfg.plan[first_block - 1][0]
-    chained = False
+    chained = False        # unpacked padded-T chain state
+    packed_chain = False   # packed padded-row chain state
     for i, (c_out, stride) in enumerate(plan):
         bi = first_block + i
         kw = fused_block_args(params["blocks"][bi], state["blocks"][bi],
                               model.adjacency, residual=cfg.residual,
                               c_in=c_prev, c_out=c_out, stride=stride)
-        out_tp = (block_tp(lengths[i + 1], strides[i + 1], cfg.gamma)
-                  if i + 1 < len(plan) else None)
-        h = fused_block_vm(h, **kw,
-                           t_valid=lengths[i] if chained else None,
-                           out_tp=out_tp,
-                           interpret=interpret, precision=precision)
-        chained = out_tp is not None
+        if packable(c_out, stride, lengths[i], cfg.gamma):
+            next_packed = (i + 1 < len(plan) and packable(
+                plan[i + 1][0], plan[i + 1][1], lengths[i + 1], cfg.gamma))
+            kw.pop("stride")
+            h = fused_block_packed_eval(
+                h, **kw,
+                t_valid=lengths[i] if packed_chain else None,
+                out_rows=(block_rows(lengths[i + 1], cfg.gamma)
+                          if next_packed else None),
+                interpret=interpret, precision=precision)
+            if next_packed:
+                packed_chain = True
+            else:
+                t2n = lengths[i + 1] // 2
+                h = h[:, :, :t2n, :].reshape(
+                    h.shape[0], n_seq, lengths[i + 1], c_out)
+                packed_chain = False
+            chained = False
+        else:
+            out_tp = (block_tp(lengths[i + 1], strides[i + 1], cfg.gamma)
+                      if i + 1 < len(plan) else None)
+            h = fused_block_vm(h, **kw,
+                               t_valid=lengths[i] if chained else None,
+                               out_tp=out_tp,
+                               interpret=interpret, precision=precision)
+            chained = out_tp is not None
         c_prev = c_out
 
     acc = jnp.promote_types(h.dtype, jnp.float32)

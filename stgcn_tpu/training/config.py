@@ -47,9 +47,16 @@ class ModelSection:
                                       # fast fused kernels live in the vntc
                                       # layout, not here.
     spatial_impl: str = "einsum"      # einsum | pallas
-    block_impl: str = "ops"           # ops | fused (whole-block Pallas
-                                      # kernels with custom VJPs; single-chip
-                                      # TPU production mode)
+    block_impl: str = "ops"           # ops | fused | hybrid (whole-block
+                                      # Pallas kernels with custom VJPs;
+                                      # hybrid runs the measured-best
+                                      # per-block mix — see fused_blocks)
+    fused_blocks: str = ""            # hybrid only: comma-separated block
+                                      # indices to run fused (e.g.
+                                      # "0,1,2,3,4,5,6" — the r5 raced
+                                      # production winner, 71.2 vs 77.6 ms;
+                                      # runs/train_race_r05.jsonl); empty =
+                                      # STGCNConfig's fused_from default
     layout: str = "ntvc"              # ntvc | vntc (V-major fused TPU mode;
                                       # single-chip only — sharded runs must
                                       # use ntvc).  Validated by
@@ -274,6 +281,8 @@ def model_config_from(cfg: ExperimentConfig) -> "Any":
         temporal_impl=m.temporal_impl,
         spatial_impl=m.spatial_impl,
         block_impl=m.block_impl,
+        fused_blocks=(tuple(int(v) for v in m.fused_blocks.split(","))
+                      if m.fused_blocks else None),
         layout=m.layout,
         remat=cfg.parallel.remat,
     )
