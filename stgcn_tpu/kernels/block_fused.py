@@ -61,14 +61,27 @@ def _roundup(a: int, b: int) -> int:
 def _mega_kernel(*refs, k_parts: int, gamma: int, stride: int, pad_l: int,
                  t_valid: int, t_out_p: int, tc: int, order: str,
                  shortcut: str, relu1: bool, apply_out: bool,
-                 final_relu: bool, out_off: int = 0, precision=None):
+                 final_relu: bool, out_off: int = 0, masked: bool = False,
+                 precision=None):
     """One sequence: (V, Tp, C_in) -> (V, t_out_p, C_out).
 
-    refs: x, s1, t1, w (K,Cin,cp), b (K,1,cp), a (K,V,V), wt (gamma,cp,cp),
-    bt (1,cp), s2 (1,cp), t2 (1,cp), [wr (Cin,cp), br (1,cp)], out,
-    z_scratch (V,Tp,cp), [r_scratch (V,Tp,cp)].
+    refs: [lens (N,) scalar-prefetch when masked], x, s1, t1, w (K,Cin,cp),
+    b (K,1,cp), a (K,V,V), wt (gamma,cp,cp), bt (1,cp), s2 (1,cp),
+    t2 (1,cp), [wr (Cin,cp), br (1,cp)], out, z_scratch (V,Tp,cp),
+    [r_scratch (V,Tp,cp)].
+
+    ``masked``: bucketed per-sequence validity.  The ops masked path zeroes
+    each block's INPUT at invalid frames and otherwise runs the block over
+    the full layout (so BN-affined zeros — not hard zeros — flow through
+    the convs near the boundary).  Reproduced exactly: input rows at or
+    beyond this sequence's prefetched length are zeroed BEFORE the affine
+    chain; the static conv-padding mask is unchanged.
     """
     it = iter(refs)
+    lv = None
+    if masked:
+        lens_ref = next(it)
+        lv = lens_ref[pl.program_id(0)]
     x_ref, s1_ref, t1_ref, w_ref, b_ref, a_ref = (next(it) for _ in range(6))
     wt_ref, bt_ref, s2_ref, t2_ref = (next(it) for _ in range(4))
     wr_ref = br_ref = None
@@ -91,6 +104,13 @@ def _mega_kernel(*refs, k_parts: int, gamma: int, stride: int, pad_l: int,
     # ---- spatial conv (chunked over time; z stays in VMEM) ---------------
     for ci in range(tp // tc):
         xc = x[:, ci * tc:(ci + 1) * tc, :].astype(jnp.float32)
+        if masked:
+            # ops masked semantics: this block's INPUT is zero at frames
+            # beyond the sequence's valid length (chained buffers carry
+            # unspecified values there)
+            row_in = (jax.lax.broadcasted_iota(jnp.int32, (1, tc, 1), 1)
+                      + ci * tc)
+            xc = jnp.where(row_in < pad_l + lv, xc, 0.0)
         h = xc * s1 + t1
         if relu1:
             h = jnp.maximum(h, 0.0)
@@ -190,6 +210,7 @@ def fused_block_vm(x, s1, t1, w, b, a, wt, bt, s2, t2, wr=None, br=None, *,
                    shortcut: str = "none", relu1: bool = False,
                    apply_out: bool = True, final_relu: bool = True,
                    t_valid: int | None = None, out_tp: int | None = None,
+                   lengths=None,
                    interpret: bool = False, precision=None):
     """Whole ST-GCN block as one fused kernel.
 
@@ -217,6 +238,12 @@ def fused_block_vm(x, s1, t1, w, b, a, wt, bt, s2, t2, wr=None, br=None, *,
         ``(V, N, out_tp, C_out)`` with valid frames at offset ``pad_l``
         (head/tail rows zeroed), ready to be the next block's ``t_valid``
         input with no copy.
+      lengths: optional ``(N,)`` int32 per-sequence valid frame counts
+        (bucketed/masked batches; contiguous-prefix validity).  The kernel
+        reads this sequence's count via scalar prefetch and masks frames
+        beyond it exactly as the ops path's ``h * time_mask`` does; frames
+        past a sequence's length in the OUTPUT are unspecified — the next
+        block's mask (or the caller's masked pool) must ignore them.
 
     Returns ``(V, N, T_out, C_out)`` (or ``(V, N, out_tp, C_out)``).
     """
@@ -301,21 +328,15 @@ def fused_block_vm(x, s1, t1, w, b, a, wt, bt, s2, t2, wr=None, br=None, *,
         _mega_kernel, k_parts=k_parts, gamma=gamma, stride=stride,
         pad_l=pad_l, t_valid=t, t_out_p=t_out_p, tc=tc, order=order,
         shortcut=shortcut, relu1=relu1, apply_out=apply_out,
-        final_relu=final_relu, out_off=out_off, precision=precision)
+        final_relu=final_relu, out_off=out_off,
+        masked=lengths is not None, precision=precision)
 
     m = n * t
     itemsize = jnp.dtype(cdtype).itemsize
     flops = (2 * m * v * c_in * k_parts * cp      # spatial stage 1
              + 2 * m * k_parts * v * v * cp       # aggregation
              + 2 * (m // stride) * v * gamma * cp * cp)  # temporal taps
-    out = pl.pallas_call(
-        kernel,
-        grid=(n,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((v, 1, out_rows, c_out),
-                               lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((v, n, out_rows, c_out), cdtype),
+    common = dict(
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -324,7 +345,42 @@ def fused_block_vm(x, s1, t1, w, b, a, wt, bt, s2, t2, wr=None, br=None, *,
             bytes_accessed=(xp.size + v * n * out_rows * c_out) * itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(*inputs)
+    )
+    if lengths is None:
+        out = pl.pallas_call(
+            kernel,
+            grid=(n,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((v, 1, out_rows, c_out),
+                                   lambda i: (0, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((v, n, out_rows, c_out), cdtype),
+            **common,
+        )(*inputs)
+    else:
+        # per-sequence masked variant: the lengths vector rides scalar
+        # prefetch; index maps gain the prefetch-ref trailing argument
+        def remap(spec):
+            return pl.BlockSpec(spec.block_shape,
+                                lambda i, lens, im=spec.index_map: im(i),
+                                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n,),
+                in_specs=[remap(s) for s in in_specs],
+                out_specs=remap(pl.BlockSpec((v, 1, out_rows, c_out),
+                                             lambda i: (0, i, 0, 0),
+                                             memory_space=pltpu.VMEM)),
+                scratch_shapes=scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((v, n, out_rows, c_out), cdtype),
+            compiler_params=common["compiler_params"],
+            cost_estimate=common["cost_estimate"],
+            interpret=interpret,
+        )(jnp.asarray(lengths, jnp.int32), *inputs)
     return out if out_tp is not None else out[:, :, :t_out, :]
 
 

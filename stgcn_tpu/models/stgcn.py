@@ -249,15 +249,18 @@ class STGCN:
         if cfg.block_impl in ("fused", "hybrid"):
             # Whole-block Pallas kernels: GSPMD cannot partition pallas_call
             # (data-parallel meshes go through parallel/fused_dp.py's
-            # explicit shard_map instead), fixed dense layout (no time_mask).
+            # explicit shard_map instead).  time_mask is supported on the
+            # fused EVAL path (per-sequence lengths ride scalar prefetch);
+            # masked TRAIN and the hybrid keep the ops chain.
+            masked_eval_ok = (cfg.block_impl == "fused" and not train)
             if (bn_axis_names is not None or constrain is not None
                     or callable(temporal_impl) or callable(spatial_impl)
-                    or time_mask is not None):
+                    or (time_mask is not None and not masked_eval_ok)):
                 raise ValueError(
                     f"block_impl={cfg.block_impl!r} cannot compose with "
-                    "GSPMD sharding hooks or time_mask; use "
-                    "block_impl='ops' for time/model-sharded or masked "
-                    "runs (data parallelism: parallel/fused_dp.py)")
+                    "GSPMD sharding hooks, or time_mask outside fused EVAL; "
+                    "use block_impl='ops' for time/model-sharded or masked-"
+                    "train runs (data parallelism: parallel/fused_dp.py)")
             from stgcn_tpu.models.fused import (
                 fused_eval_forward,
                 fused_train_forward,
@@ -280,7 +283,8 @@ class STGCN:
                                            precision=precision)
             return (fused_eval_forward(self, params, state, x,
                                        interpret=interpret,
-                                       precision=precision), state)
+                                       precision=precision,
+                                       time_mask=time_mask), state)
         if cfg.compute_dtype is not None:
             # Mixed precision: cast params and activations to the compute
             # dtype ONCE here, so activations live in (and move through HBM

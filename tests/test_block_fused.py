@@ -6,6 +6,8 @@ float64 by test_op_parity.py.  Reference op chain being fused:
 src/network/st_graphconv.py:85-109.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -121,6 +123,34 @@ class TestFusedModelForward:
         got = fused_eval_forward(m, params, state, x, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=5e-5, rtol=1e-4)
+
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_masked_eval_matches_ops_masked(self, rng, residual):
+        """Bucketed/masked eval through the megakernels (per-sequence
+        lengths via scalar prefetch) matches the ops path's masked
+        semantics exactly (VERDICT r4 weak-5)."""
+        cfg = STGCNConfig(plan=((8, 1), (16, 2), (16, 1)),
+                          strategy=Strategy.DISTANCE, d=1, residual=residual)
+        m = STGCN(cfg)
+        params, state = m.init(jax.random.key(0))
+        n, t = 4, 48
+        x = jnp.asarray(rng.normal(0, 1, (n, t, 25, 2)), jnp.float32)
+        lens = jnp.asarray([48, 31, 17, 40])
+        mask = (jnp.arange(t)[None, :] < lens[:, None])
+        ref, _ = m.apply(params, state, x, train=False, time_mask=mask)
+        got = fused_eval_forward(m, params, state, x, interpret=True,
+                                 time_mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+        # the apply() dispatch path reaches the same result
+        m_f = STGCN(dataclasses.replace(cfg, block_impl="fused"))
+        got2, _ = m_f.apply(params, state, x, train=False, time_mask=mask)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-4)
+        # masked TRAIN on the fused path stays refused
+        with pytest.raises(ValueError, match="time_mask"):
+            m_f.apply(params, state, x, train=True, time_mask=mask,
+                      rng=jax.random.key(1))
 
     def test_final_softmax_quirk(self, rng):
         """final_softmax=True (reference Q4) flows through the fused path."""
