@@ -492,6 +492,86 @@ def _spatial_bwd_kernel(x_ref, g_ref, s1_ref, t1_ref, w_ref, b_ref, a_ref,
     dt1_ref[:] += jnp.sum(dpre.reshape(v * tm, c_in), axis=0, keepdims=True)
 
 
+def _spatial_fwd_kernel_save(x_ref, s1_ref, t1_ref, w_ref, b_ref, a_ref,
+                             out_ref, y_ref, *, k_parts: int, relu1: bool,
+                             precision=None):
+    """Forward that ALSO materializes the per-partition stage-1 expansion
+    z_k (bias included) so the backward can read it for the adjacency
+    gradient instead of recomputing it — the bytes-for-FLOPs back-trade
+    for blocks whose stage-1 dots are expensive (C>=128; PERF_r05.md)."""
+    v, tm, c_in = x_ref.shape
+    cp = out_ref.shape[-1]
+    h = (x_ref[:].astype(jnp.float32) * s1_ref[:].reshape(1, 1, c_in)
+         + t1_ref[:].reshape(1, 1, c_in))
+    if relu1:
+        h = jnp.maximum(h, 0.0)
+    h2 = h.astype(x_ref.dtype).reshape(v * tm, c_in)
+    acc = jnp.zeros((v, tm * cp), jnp.float32)
+    for kk in range(k_parts):
+        y = jax.lax.dot_general(
+            h2, w_ref[kk], dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        y = (y + b_ref[kk]).astype(x_ref.dtype)
+        y_ref[:, :, kk * cp:(kk + 1) * cp] = y.reshape(v, tm, cp)
+        acc += jax.lax.dot_general(
+            a_ref[kk], y.reshape(v, tm, cp).reshape(v, tm * cp),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+    out_ref[:] = acc.reshape(v, tm, cp).astype(out_ref.dtype)
+
+
+def _spatial_bwd_kernel_saved(x_ref, g_ref, y_ref, s1_ref, t1_ref, w_ref,
+                              a_ref, dx_ref, dw_ref, db_ref, da_ref,
+                              ds1_ref, dt1_ref, *, k_parts: int,
+                              relu1: bool, precision=None):
+    """Backward consuming the saved expansion: identical math to
+    _spatial_bwd_kernel with the z_k recompute replaced by reads."""
+    v, tm, c_in = x_ref.shape
+    cp = g_ref.shape[-1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        da_ref[:] = jnp.zeros_like(da_ref)
+        ds1_ref[:] = jnp.zeros_like(ds1_ref)
+        dt1_ref[:] = jnp.zeros_like(dt1_ref)
+
+    s1 = s1_ref[:].reshape(1, 1, c_in)
+    t1 = t1_ref[:].reshape(1, 1, c_in)
+    xf = x_ref[:].astype(jnp.float32)
+    pre = xf * s1 + t1
+    hf = jnp.maximum(pre, 0.0) if relu1 else pre
+    h2 = hf.astype(x_ref.dtype).reshape(v * tm, c_in)
+    g_t = g_ref[:].reshape(v, tm * cp)
+
+    dh_acc = jnp.zeros((v * tm, c_in), jnp.float32)
+    for kk in range(k_parts):
+        t_k = jax.lax.dot_general(
+            a_ref[kk], g_t, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32).astype(g_ref.dtype)
+        t2d = t_k.reshape(v, tm, cp).reshape(v * tm, cp)
+        dh_acc += jax.lax.dot_general(
+            t2d, w_ref[kk], dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        dw_ref[kk] += jax.lax.dot_general(
+            h2, t2d, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        db_ref[kk] += jnp.sum(t2d.astype(jnp.float32), axis=0, keepdims=True)
+        z_t = y_ref[:, :, kk * cp:(kk + 1) * cp].reshape(v, tm * cp)
+        da_ref[kk] += jax.lax.dot_general(
+            g_t, z_t, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+    dpre = dh_acc.reshape(v, tm, c_in)
+    if relu1:
+        dpre = jnp.where(pre > 0.0, dpre, 0.0)
+    dx_ref[:] = (dpre * s1).astype(dx_ref.dtype)
+    ds1_ref[:] += jnp.sum((dpre * xf).reshape(v * tm, c_in), axis=0,
+                          keepdims=True)
+    dt1_ref[:] += jnp.sum(dpre.reshape(v * tm, c_in), axis=0, keepdims=True)
+
+
 def _spatial_prep(x_vm, w, b, a):
     """x_vm: (V, M, C_in); pads M to the tile, channels to cp (weights)."""
     from stgcn_tpu.kernels.spatial_conv import _pick_tile_vm
@@ -651,6 +731,150 @@ def _spatial_block_bwd_rule(relu1, interpret, precision, need_da, res, g):
 
 
 spatial_block_vm.defvjp(_spatial_block_fwd_rule, _spatial_block_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def spatial_block_vm_save(x, s1, t1, w, b, a, relu1: bool = False,
+                          interpret: bool = False, precision=None):
+    """spatial_block_vm variant that SAVES the per-partition stage-1
+    expansion for the backward's adjacency gradient instead of recomputing
+    it: +K*cp activation bytes (write + read), −one stage-1 dot per
+    partition in the backward.  Pays off when the step is MXU-bound and
+    C_in is large (the c256 tail; PERF_r05.md remaining-lever 1)."""
+    out, _ = _spatial_block_fwd_save(x, s1, t1, w, b, a, relu1, interpret,
+                                     precision)
+    return out
+
+
+def _spatial_block_fwd_save(x, s1, t1, w, b, a, relu1, interpret, precision):
+    v, n, t, c_in = x.shape
+    x2, w2, b2, a2, tile, (v, m, mp, c_in, cp, k, c_out) = _spatial_prep(
+        x.reshape(v, n * t, c_in), w, b, a)
+    kernel = functools.partial(_spatial_fwd_kernel_save, k_parts=k,
+                               relu1=relu1, precision=precision)
+    out, y = pl.pallas_call(
+        kernel,
+        grid=(mp // tile,),
+        in_specs=[
+            pl.BlockSpec((v, tile, c_in), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, v, v), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((v, tile, cp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, tile, k * cp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((v, mp, cp), x.dtype),
+            jax.ShapeDtypeStruct((v, mp, k * cp), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * v * c_in * k * cp + 2 * mp * k * v * v * cp,
+            bytes_accessed=(x2.size + mp * v * cp * (1 + k))
+            * jnp.dtype(x.dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, s1.reshape(1, -1).astype(jnp.float32),
+      t1.reshape(1, -1).astype(jnp.float32), w2, b2, a2)
+    if mp != m:
+        out = out[:, :m]
+    return out.reshape(v, n, t, cp), y
+
+
+def _spatial_block_save_fwd_rule(x, s1, t1, w, b, a, relu1, interpret,
+                                 precision):
+    out, y = _spatial_block_fwd_save(x, s1, t1, w, b, a, relu1, interpret,
+                                     precision)
+    return out, (x, s1, t1, w, b, a, y)
+
+
+def _spatial_block_save_bwd_rule(relu1, interpret, precision, res, g):
+    x, s1, t1, w, b, a, y = res
+    v, n, t, c_in = x.shape
+    x2, w2, b2, a2, tile, (v, m, mp, c_in, cp, k, c_out) = _spatial_prep(
+        x.reshape(v, n * t, c_in), w, b, a)
+    g2 = g.reshape(v, m, cp)
+    if mp != m:
+        g2 = jnp.pad(g2, [(0, 0), (0, mp - m), (0, 0)])
+    kernel = functools.partial(_spatial_bwd_kernel_saved, k_parts=k,
+                               relu1=relu1, precision=precision)
+    dx, dw, db, da, ds1, dt1 = pl.pallas_call(
+        kernel,
+        grid=(mp // tile,),
+        in_specs=[
+            pl.BlockSpec((v, tile, c_in), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, tile, cp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v, tile, k * cp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, v, v), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((v, tile, c_in), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c_in, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 1, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, v, v), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((v, mp, c_in), x.dtype),
+            jax.ShapeDtypeStruct((k, c_in, cp), jnp.float32),
+            jax.ShapeDtypeStruct((k, 1, cp), jnp.float32),
+            jax.ShapeDtypeStruct((k, v, v), jnp.float32),
+            jax.ShapeDtypeStruct((1, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((1, c_in), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (2 * mp * v * c_in * k * cp)
+            + 2 * (2 * mp * k * v * v * cp),
+            bytes_accessed=(2 * x2.size + g2.size + y.size)
+            * jnp.dtype(x.dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, g2, y, s1.reshape(1, -1).astype(jnp.float32),
+      t1.reshape(1, -1).astype(jnp.float32), w2, a2)
+    if mp != m:
+        dx = dx[:, :m]
+    dw = dw[:, :, :c_out].transpose(1, 0, 2)
+    db = db[:, 0, :c_out]
+    return (dx.reshape(v, n, t, c_in),
+            ds1.reshape(s1.shape).astype(s1.dtype),
+            dt1.reshape(t1.shape).astype(t1.dtype),
+            dw.astype(w.dtype), db.astype(b.dtype), da.astype(a.dtype))
+
+
+spatial_block_vm_save.defvjp(_spatial_block_save_fwd_rule,
+                             _spatial_block_save_bwd_rule)
 
 
 def _tmerge_mask(tpm: int, tc: int, ci: int, stride: int, cp: int,

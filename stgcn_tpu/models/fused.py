@@ -256,6 +256,17 @@ def block_forward_fused_train(bp, bs, x, adjacency, *, stride: int,
                                  bp["spatial"]["w"].astype(x.dtype),
                                  bp["spatial"]["b"].astype(x.dtype), A,
                                  residual, interpret, precision, need_da)
+    elif need_da and x.shape[-1] >= 256:
+        # c256 blocks: the backward's z_k recompute is a stage-1-size dot
+        # per partition at C_in=256 — saving the expansion costs ~125 MB of
+        # activation traffic per block and removes ~0.5 ms of MXU work
+        # (PERF_r05.md remaining-lever 1)
+        from stgcn_tpu.kernels.block_fused import spatial_block_vm_save
+
+        z = spatial_block_vm_save(x, s1, t1,
+                                  bp["spatial"]["w"].astype(x.dtype),
+                                  bp["spatial"]["b"].astype(x.dtype), A,
+                                  residual, interpret, precision)
     else:
         z = spatial_block_vm(x, s1, t1, bp["spatial"]["w"].astype(x.dtype),
                              bp["spatial"]["b"].astype(x.dtype), A,

@@ -168,6 +168,37 @@ class TestFusedTrainOps:
     """The split train ops (spatial_block_vm / temporal_block_vm): value and
     gradient parity vs pure-JAX oracles, interpret mode."""
 
+    def test_save_expansion_variant_matches(self, adjacency, rng):
+        """spatial_block_vm_save: identical values and gradients to the
+        recompute variant (the saved z_k feeds the SAME da contraction)."""
+        from stgcn_tpu.kernels.block_fused import (
+            spatial_block_vm,
+            spatial_block_vm_save,
+        )
+
+        c_in, c_out = 16, 16
+        k = adjacency.shape[0]
+        x = jnp.asarray(rng.normal(0, 1, (25, 2, 20, c_in)), jnp.float32)
+        s1 = jnp.asarray(rng.normal(1, 0.2, (c_in,)), jnp.float32)
+        t1 = jnp.asarray(rng.normal(0, 0.2, (c_in,)), jnp.float32)
+        w = jnp.asarray(rng.normal(0, 0.3, (c_in, k, c_out)), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 0.3, (k, c_out)), jnp.float32)
+        args = (x, s1, t1, w, b, adjacency)
+
+        def loss(fn, *a):
+            return jnp.sum(jnp.sin(fn(*a, True, True)))
+
+        v_r = loss(spatial_block_vm, *args)
+        v_s = loss(spatial_block_vm_save, *args)
+        np.testing.assert_allclose(float(v_s), float(v_r), rtol=1e-6)
+        g_r = jax.grad(lambda *a: loss(spatial_block_vm, *a),
+                       argnums=tuple(range(6)))(*args)
+        g_s = jax.grad(lambda *a: loss(spatial_block_vm_save, *a),
+                       argnums=tuple(range(6)))(*args)
+        for a, b_ in zip(g_r, g_s):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_spatial_block_grads(self, adjacency, rng):
         from stgcn_tpu.kernels.block_fused import spatial_block_vm
 
