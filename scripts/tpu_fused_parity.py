@@ -85,24 +85,40 @@ def run_pair(precision: str, impl: str) -> dict:
     lo = np.asarray(results["ops"]["losses"])
     lf = np.asarray(results[impl]["losses"])
     loss_rel = np.abs(lf - lo) / np.maximum(np.abs(lo), 1e-3)
+    loss_abs = np.abs(lf - lo)
 
-    # BN running stats after 200 steps x 10 blocks x 2 BNs
-    bn_rel = []
-    for b_ops, b_f in zip(results["ops"]["model_state"]["blocks"],
-                          results[impl]["model_state"]["blocks"]):
+    # BN running stats after 200 steps x 10 blocks x 2 BNs, normalized by
+    # each leaf's own magnitude: deep-layer activation variances reach 1e4+
+    # once the loss is at plateau, and the two trajectories' params differ
+    # by default-precision noise, so only a leafmax-relative metric is
+    # interpretable.  The worst leaves are named for inspection.
+    bn_rows = []
+    for bi, (b_ops, b_f) in enumerate(zip(
+            results["ops"]["model_state"]["blocks"],
+            results[impl]["model_state"]["blocks"])):
         for k in ("bn1", "bn2"):
             for stat in ("mean", "var"):
                 a, g = b_ops[k][stat], b_f[k][stat]
-                bn_rel.append(float(np.max(
-                    np.abs(g - a) / np.maximum(np.abs(a), 1e-3))))
+                leafmax = float(np.abs(a).max())
+                diff = float(np.abs(g - a).max())
+                bn_rows.append((diff / max(leafmax, 1e-3),
+                                f"block{bi}.{k}.{stat}", leafmax, diff))
+    bn_rows.sort(reverse=True)
+    bn_rel = [r[0] for r in bn_rows]
+    bn_abs = [r[3] for r in bn_rows]
 
-    # gradient parity at step 0 and at the ops-path endpoint
-    def grads_at(params, cfg_kw):
+    # gradient parity at step 0 and at the ops-path endpoint.  Both the
+    # production DEFAULT matmul precision (bf16-passes on TPU even for f32
+    # inputs — op-order differences between impls accumulate through 10 BN
+    # layers) and HIGHEST (the algorithmic-parity number; interpret-mode
+    # CPU tests pin the same property at 1e-4).
+    def grads_at(params, cfg_kw, prec):
         model = STGCN(STGCNConfig(**cfg_kw))
         _, state0 = model.init(jax.random.key(0))
 
         def loss_fn(p):
-            logits, _ = model.apply(p, state0, x, train=True)
+            logits, _ = model.apply(p, state0, x, train=True,
+                                    precision=prec)
             return M.cross_entropy(logits, y)
 
         return jax.jit(jax.grad(loss_fn))(params)
@@ -110,26 +126,41 @@ def run_pair(precision: str, impl: str) -> dict:
     grad_rows = {}
     model0 = STGCN(STGCNConfig(**kw))
     params0, _ = model0.init(jax.random.key(0))
-    for tag, p in (("init", params0), ("after200", end_params["ops"])):
-        g_ops = grads_at(p, kw)
-        g_f = grads_at(p, fused_kw)
-        rels = []
-        for a, g in zip(jax.tree.leaves(g_ops), jax.tree.leaves(g_f)):
-            a, g = np.asarray(a, np.float64), np.asarray(g, np.float64)
-            denom = max(float(np.abs(a).max()), 1e-6)
-            rels.append(float(np.abs(g - a).max() / denom))
-        grad_rows[tag] = {"max_rel_vs_leafmax": max(rels),
-                          "median_rel": float(np.median(rels))}
-        print(f"# {precision} grad parity {tag}: max_rel={max(rels):.2e}",
-              flush=True)
+    precs = [("default", None)]
+    if precision == "f32":
+        precs.append(("highest", jax.lax.Precision.HIGHEST))
+    for prec_name, prec in precs:
+        for tag, p in (("init", params0), ("after200", end_params["ops"])):
+            g_ops = grads_at(p, kw, prec)
+            g_f = grads_at(p, fused_kw, prec)
+            rels = []
+            for a, g in zip(jax.tree.leaves(g_ops), jax.tree.leaves(g_f)):
+                a, g = np.asarray(a, np.float64), np.asarray(g, np.float64)
+                denom = max(float(np.abs(a).max()), 1e-6)
+                rels.append(float(np.abs(g - a).max() / denom))
+            grad_rows[f"{tag}_{prec_name}"] = {
+                "max_rel_vs_leafmax": max(rels),
+                "median_rel": float(np.median(rels))}
+            print(f"# {precision} grad parity {tag} prec={prec_name}: "
+                  f"max_rel={max(rels):.2e} med={np.median(rels):.2e}",
+                  flush=True)
 
     return {
         "steps": STEPS, "batch": BATCH, "t": T, "impl_vs": impl,
         "loss_final_ops": float(lo[-1]), "loss_final_fused": float(lf[-1]),
         "loss_max_rel_divergence": float(loss_rel.max()),
+        "loss_max_abs_divergence": float(loss_abs.max()),
         "loss_rel_at_step": {str(i): float(loss_rel[i])
                              for i in (0, 9, 49, 99, 199)},
-        "bn_running_stats_max_rel": max(bn_rel),
+        "loss_abs_at_step": {str(i): float(loss_abs[i])
+                             for i in (0, 9, 49, 99, 199)},
+        "bn_running_stats_max_rel_vs_leafmax": max(bn_rel),
+        "bn_running_stats_median_rel_vs_leafmax": float(
+            np.median(bn_rel)),
+        "bn_running_stats_worst3": [
+            {"leaf": r[1], "rel_vs_leafmax": round(r[0], 5),
+             "leaf_max": round(r[2], 2), "max_abs_diff": round(r[3], 4)}
+            for r in bn_rows[:3]],
         "grad_parity": grad_rows,
     }
 
