@@ -47,17 +47,23 @@ CONFIGS = [
     ("distance", ["--model.partitioning", "1"]),
     ("spatial_configuration", ["--model.partitioning", "2"]),
     ("symmetrical", ["--model.partitioning", "3"]),
+    # The reference's 80.47% recipe is residual + augmentation + dropout 0
+    # AND lr=1e-4 (report.pdf abstract/§5.7).  The r4 table ran the best
+    # rows at the script's base lr=1e-3, which STRATEGY_DIAG_r05.json shows
+    # is an optimization-hostile regime for the 3-partition strategies
+    # (spatial-config: train acc 0.21 at lr 1e-3 / dropout 0.5 or either
+    # knob alone, 0.89 at lr 1e-4 + dropout 0) — the recipe must carry its
+    # own lr to be the reference's recipe.
     ("best_spatial_residual_aug", [
         "--model.partitioning", "2", "--model.residual", "true",
         "--model.num_layers", "10", "--model.dropout_rate", "0.0",
-        "--data.augment_data", "true",
+        "--data.augment_data", "true", "--train.lr", "0.0001",
     ]),
-    # the same recipe with the strategy that suits the relational task
-    # (spatial-configuration cannot learn it — see the ablation rows)
+    # the same recipe with the strategy that suits the relational task best
     ("best_distance_residual_aug", [
         "--model.partitioning", "1", "--model.residual", "true",
         "--model.num_layers", "10", "--model.dropout_rate", "0.0",
-        "--data.augment_data", "true",
+        "--data.augment_data", "true", "--train.lr", "0.0001",
     ]),
 ]
 

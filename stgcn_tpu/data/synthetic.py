@@ -81,8 +81,15 @@ _ACTION_MOTION = {
 #   the direction a motion wave travels (down vs up the limbs).  A first
 #   uni-labeling layer is sign-blind at interior joints (the symmetric
 #   neighborhood sum sin(wt+a(h-1)) + sin(wt+ah) + sin(wt+a(h+1)) =
-#   (1+2cos a) sin(wt+ah) loses sign(a)), while the spatial-configuration
-#   partitioning separates closer/farther neighbors and sees it directly.
+#   (1+2cos a) loses sign(a)), while the spatial-configuration partitioning
+#   separates closer/farther neighbors and can REPRESENT it directly.
+#   MEASURED CAVEAT (r5, STRATEGY_DIAG_r05.json): representability did not
+#   equal learnability at the r4 ablation settings — spatial-configuration
+#   sat at CHANCE TRAIN accuracy under (lr 1e-3, dropout 0.5) and under
+#   either knob alone, and fits (train 0.89, test 0.51) only at the
+#   reference's own best-recipe regime (lr 1e-4, dropout 0).  The r4
+#   prediction that this strategy would dominate the ablation table was
+#   wrong about optimization, not expressiveness.
 # * ``beta`` — mirror-pair phase offset (side = +-1/2 for L/R joints):
 #   beta=1 puts every joint in anti-phase with its mirror partner, the
 #   relation the symmetrical strategy's mirror edges observe directly.
