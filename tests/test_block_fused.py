@@ -327,5 +327,10 @@ class TestFusedTrainPath:
                               block_impl="fused"))
         params, state = m.init(jax.random.key(0))
         x = jnp.zeros((2, 16, 25, 2), jnp.float32)
-        with pytest.raises(ValueError, match="fused"):
-            m.apply(params, state, x, time_mask=jnp.ones((2, 16)))
+        # masked fused EVAL is supported since r5 (scalar-prefetch lengths);
+        # masked fused TRAIN stays on the ops chain
+        logits, _ = m.apply(params, state, x, time_mask=jnp.ones((2, 16)))
+        assert logits.shape == (2, 6)
+        with pytest.raises(ValueError, match="time_mask"):
+            m.apply(params, state, x, train=True,
+                    time_mask=jnp.ones((2, 16)), rng=jax.random.key(0))
